@@ -51,6 +51,9 @@ EGO_DEPART_ARC = 40.0
 _RAMP_LEN = 201.90961137044434          # ramp_0 lane length (merge.net.xml)
 _INTERNAL_LEN = 52.18                   # :mergenode_1_0 length
 EGO_ARRIVAL_ARC = _RAMP_LEN + _INTERNAL_LEN + 50.0
+# arc at which the ego enters the junction's internal merge lane and starts
+# occupying the highway conflict area (SUMO junction blocking)
+EGO_JUNCTION_ARC = _RAMP_LEN
 
 # Traffic cars enter highwayrear at x=-250 (front bumper at -245 after the
 # 5 m body is placed) and leave the network at x=100 (merge.net.xml).

@@ -1,0 +1,93 @@
+"""Task drivers: the batched equivalents of the reference's experiment loops.
+
+Re-design of the reference's task execution (reference: main.py:16-40 and
+control.py:343-363 ``evaluate_control``): instead of running episodes one at
+a time against SUMO, a whole batch of scenarios runs per device program and
+the host loop only aggregates statistics between batches.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Settings
+from .planner import mpc
+from .sim import init_world, run_episode_batch
+from .sim.episode import Controller
+from .stats import StatsAggregator
+
+__all__ = ["make_worlds", "evaluate_controller", "evaluate_st", "seed_key"]
+
+logger = logging.getLogger(__name__)
+
+
+def seed_key(cfg: Settings) -> jax.Array:
+    """PRNG root key from cfg.SEED (reference main.py:94-100 seeds numpy/
+    torch/random; here one key seeds the whole device-side world)."""
+    if cfg.SEED == "Random":
+        import secrets
+        return jax.random.PRNGKey(secrets.randbits(31))
+    return jax.random.PRNGKey(int(cfg.SEED))
+
+
+def make_worlds(cfg: Settings, batch: Optional[int] = None,
+                dtype=jnp.float32):
+    batch = batch or cfg.BATCH_SCENARIOS
+    keys = jax.random.split(seed_key(cfg), batch)
+    return jax.vmap(lambda k: init_world(k, cfg, dtype))(keys)
+
+
+def evaluate_controller(cfg: Settings, controller: Controller,
+                        num_episodes: Optional[int] = None,
+                        batch: Optional[int] = None,
+                        dtype=jnp.float32,
+                        max_episode_length: float = 100.0,
+                        wait_before_start: float = 50.0,
+                        verbose: bool = True,
+                        custom_stats: Optional[Callable] = None
+                        ) -> StatsAggregator:
+    """Batched ``evaluate_control`` (reference control.py:343-363): run
+    ceil(num_episodes / batch) rounds of lockstep episodes, aggregating the
+    same per-episode metrics.  The traffic world persists across rounds,
+    mirroring the persistent SUMO process."""
+    num_episodes = num_episodes or cfg.NUM_EPISODES
+    batch = batch or cfg.BATCH_SCENARIOS
+    agg = StatsAggregator(cfg)
+    worlds = make_worlds(cfg, batch, dtype)
+    rounds = -(-num_episodes // batch)
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        worlds, stats = run_episode_batch(
+            worlds, cfg, controller,
+            max_episode_length=max_episode_length,
+            wait_before_start=wait_before_start)
+        stats = jax.tree.map(np.asarray, jax.block_until_ready(stats))
+        wall = time.perf_counter() - t0
+        custom = custom_stats(stats) if custom_stats else None
+        agg.add_batch(stats, wall_clock_seconds=wall, custom=custom)
+        if verbose:
+            done = min((r + 1) * batch, num_episodes)
+            print(f"[{done}/{num_episodes}] "
+                  f"crash={np.mean(agg.columns['crashed']):.4f} "
+                  f"merge={np.mean(agg.columns['merged']):.4f} "
+                  f"jerk={np.mean(agg.columns['mean_abs_jerk']):.3f} "
+                  f"({wall:.1f}s/round)", flush=True)
+    return agg
+
+
+def evaluate_st(cfg: Settings, num_episodes: Optional[int] = None,
+                dtype=jnp.float32, verbose: bool = True) -> StatsAggregator:
+    """TASK="ST": pure MPC evaluation (reference st.py:817-824)."""
+    controller = functools.partial(mpc.batched_controller, cfg=cfg)
+    agg = evaluate_controller(cfg, controller, num_episodes, dtype=dtype,
+                              verbose=verbose)
+    if verbose:
+        agg.print_stats()
+    return agg
