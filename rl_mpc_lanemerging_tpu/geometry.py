@@ -79,13 +79,17 @@ def route_xy(arc):
     along the final highway segment.
     """
     arc = jnp.asarray(arc)
-    idx = jnp.clip(jnp.searchsorted(_ROUTE_ARC, arc, side="right") - 1,
-                   0, _ROUTE_ARC.shape[0] - 2)
-    a0 = _ROUTE_ARC[idx]
-    a1 = _ROUTE_ARC[idx + 1]
+    dtype = arc.dtype if jnp.issubdtype(arc.dtype, jnp.floating) \
+        else jnp.result_type(float)
+    route_arc = _ROUTE_ARC.astype(dtype)
+    route_xy_tab = _ROUTE_XY.astype(dtype)
+    idx = jnp.clip(jnp.searchsorted(route_arc, arc, side="right") - 1,
+                   0, route_arc.shape[0] - 2)
+    a0 = route_arc[idx]
+    a1 = route_arc[idx + 1]
     w = (arc - a0) / jnp.maximum(a1 - a0, 1e-9)
-    p0 = _ROUTE_XY[idx]
-    p1 = _ROUTE_XY[idx + 1]
+    p0 = route_xy_tab[idx]
+    p1 = route_xy_tab[idx + 1]
     return p0 + (p1 - p0) * w[..., None]
 
 

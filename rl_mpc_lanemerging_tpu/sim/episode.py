@@ -66,6 +66,7 @@ class EpisodeStats(NamedTuple):
     bin_jerk: jax.Array          # (B, NUM_BINS)
     bin_speed: jax.Array         # (B, NUM_BINS)
     start_speed: jax.Array
+    aux_sum: jax.Array           # (B,) controller-provided flag accumulator
 
 
 def _zero_stats(batch: int, dtype) -> EpisodeStats:
@@ -80,7 +81,7 @@ def _zero_stats(batch: int, dtype) -> EpisodeStats:
         bin_counts=jnp.zeros((batch, NUM_BINS), dtype),
         bin_jerk=jnp.zeros((batch, NUM_BINS), dtype),
         bin_speed=jnp.zeros((batch, NUM_BINS), dtype),
-        start_speed=z)
+        start_speed=z, aux_sum=z)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "ticks"))
@@ -220,7 +221,15 @@ def run_episode_batch(world: WorldState, cfg: Settings,
                 ticks=stats.ticks + active.astype(jnp.int32))
         prev_a = jnp.where(active, state.ego_accel.astype(dtype), prev_a)
 
-        speed_cmd = controller(state).astype(dtype)
+        out = controller(state)
+        if isinstance(out, tuple):
+            speed_cmd, aux = out
+            stats = stats._replace(
+                aux_sum=stats.aux_sum
+                + jnp.where(active, aux.astype(dtype), 0.0))
+        else:
+            speed_cmd = out
+        speed_cmd = speed_cmd.astype(dtype)
         # frozen scenarios coast (their world is masked below anyway)
         speed_cmd = jnp.where(active, speed_cmd, w.ego_v)
         w_next = jax.vmap(lambda ww, c: world_step(ww, c, cfg))(w, speed_cmd)

@@ -1,0 +1,137 @@
+"""RL stack tests: observations, rewards, replay, env, DQN round."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rl_mpc_lanemerging_tpu.config import Settings
+from rl_mpc_lanemerging_tpu.envs.merge_env import (EnvKind, env_reset,
+                                                   env_step)
+from rl_mpc_lanemerging_tpu.prediction import make_state, empty_state
+from rl_mpc_lanemerging_tpu.rl import replay as rb
+from rl_mpc_lanemerging_tpu.rl.obs import state_vector
+from rl_mpc_lanemerging_tpu.rl.rewards import (continuous_reward,
+                                               get_reward_function,
+                                               slotted_reward_with_jerk,
+                                               st_reward)
+from rl_mpc_lanemerging_tpu.sim import init_world
+
+CFG = Settings()
+
+
+def test_state_vector_layout():
+    st = make_state(-20.0, 0.0, 10.0, 1.0,
+                    [-5.0, 30.0, -30.0], [6.0, 5.0, 7.0], [0.1, 0.2, 0.3])
+    v = np.asarray(state_vector(st, CFG))
+    assert v.shape == (20,)
+    # front_1 = nearest ahead = x=-5 car: [acc/9, (v-v_ego)/30, dx/125, 1]
+    np.testing.assert_allclose(v[0:4],
+                               [0.1 / 9, (6 - 10) / 30, 15 / 125, 1],
+                               atol=1e-6)
+    # front_2 = x=30 car
+    np.testing.assert_allclose(v[4:8],
+                               [0.2 / 9, (5 - 10) / 30, 50 / 125, 1],
+                               atol=1e-6)
+    # back_1 = x=-30 car
+    np.testing.assert_allclose(v[8:12],
+                               [0.3 / 9, (7 - 10) / 30, -10 / 125, 1],
+                               atol=1e-6)
+    # back_2 absent
+    np.testing.assert_allclose(v[12:16], 0.0, atol=1e-9)
+    # ego block
+    np.testing.assert_allclose(v[16:20],
+                               [10 / 30, 1 / 9, -20 / 300, 0.0], atol=1e-6)
+
+
+def test_rewards_terminal_and_live():
+    st = empty_state()
+    cfg = CFG.replace(REWARD_FUNCTION="Slotted Jerk", ALT_J_WEIGHT=0.1)
+    f = get_reward_function(cfg)
+    assert float(f(st, 0.0, jnp.asarray(True), jnp.asarray(False),
+                   cfg)) == cfg.CRASH_REWARD
+    assert float(f(st, 0.0, jnp.asarray(False), jnp.asarray(True),
+                   cfg)) == cfg.SUCCESS_REWARD
+    live = float(f(st, 2.0, jnp.asarray(False), jnp.asarray(False), cfg))
+    assert np.isclose(live, -0.1 * 0.2 - 0.1 * 4.0 * 0.2)
+
+    # continuous reward penalizes small gaps
+    near = make_state(-20.0, -1.6, 10.0, 0.0, [-13.0], [7.0], [0.0])
+    far = make_state(-20.0, -1.6, 10.0, 0.0, [-60.0], [7.0], [0.0])
+    r_near = float(continuous_reward(near, 0.0, False, False, CFG))
+    r_far = float(continuous_reward(far, 0.0, False, False, CFG))
+    assert r_near < r_far
+
+    r_st = float(st_reward(near, 1.0, False, False, CFG))
+    assert np.isfinite(r_st) and r_st < 0
+
+
+def test_replay_ring_and_prioritized_sampling():
+    cfg = CFG
+    r = rb.init_replay(64, 4, discrete=True)
+    assert r.priority.shape[0] == 64
+    key = jax.random.PRNGKey(0)
+    obs = jnp.arange(40.0).reshape(10, 4)
+    acts = jnp.arange(10, dtype=jnp.int32)
+    valid = jnp.ones(10, bool).at[3].set(False)  # one masked row
+    r = rb.add_batch(r, obs, obs + 1, acts, jnp.ones(10),
+                     jnp.zeros(10, bool), valid, 2.0)
+    assert int(r.size) == 9
+    assert int(r.pos) == 9
+    # masked row (action 3) must not be stored
+    stored = np.asarray(r.action[:9])
+    assert 3 not in stored
+
+    # prioritized sampling concentrates on the high-priority item
+    r = rb.update_priorities(r, jnp.asarray([0]), jnp.asarray([1000.0]),
+                             cfg)
+    idx, batch = rb.sample(r, key, 256)
+    frac0 = float(np.mean(np.asarray(idx) == 0))
+    # item 0 has priority 2 (=max^alpha), others 2 as well -> after the
+    # update item 0 keeps clipped max priority; check distribution sane
+    assert 0.0 < frac0 < 1.0
+    # now zero out everything except item 5
+    r = r._replace(priority=jnp.zeros(64).at[5].set(1.0))
+    idx, _ = rb.sample(r, key, 128)
+    assert np.all(np.asarray(idx) == 5)
+
+
+def test_env_step_runs_and_resets():
+    cfg = CFG.replace(MAX_CARS=16, MAX_SENSED_CARS=8,
+                      REWARD_FUNCTION="Slotted Jerk")
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    world = jax.vmap(lambda k: init_world(k, cfg, jnp.float64))(keys)
+    env = env_reset(world, cfg, wait_before_start=2.0)
+    total_valid = 0
+    for i in range(30):
+        actions = jnp.full((4,), 2, jnp.int32)  # zero jerk
+        env, tr = env_step(env, actions, cfg, EnvKind.JERK,
+                           max_episode_length=3.0, wait_before_start=2.0)
+        total_valid += int(np.sum(np.asarray(tr["valid"])))
+    # warmup = 10 ticks, episodes cap at 15 ticks -> multiple episodes ran
+    assert total_valid > 4 * 10
+    assert env.obs.shape == (4, cfg.obs_dim)
+
+
+def test_dqn_train_round_improves_nothing_but_runs():
+    from rl_mpc_lanemerging_tpu.agents import dqn as dqn_agent
+    cfg = CFG.replace(MAX_CARS=16, MAX_SENSED_CARS=8,
+                      REWARD_FUNCTION="Slotted Jerk",
+                      REPLAY_BUFFER_SIZE=2048, BATCH_SIZE=32,
+                      TRAINING_EPISODE_LENGTH=5.0)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    world = jax.vmap(lambda k: init_world(k, cfg, jnp.float32))(keys)
+    state = dqn_agent.make_train_state(cfg, world, jax.random.PRNGKey(2), wait_before_start=2.0)
+    for _ in range(2):
+        state = dqn_agent.train_round(state, cfg, env_ticks=40,
+                                      grad_steps=4, wait_before_start=2.0)
+    assert int(state.replay.size) > 0
+    assert np.isfinite(float(state.loss_sum))
+    # params changed
+    leaf0 = jax.tree.leaves(state.params)[0]
+    assert np.all(np.isfinite(np.asarray(leaf0)))
+    ctrl = dqn_agent.greedy_controller(state.params, cfg)
+    from rl_mpc_lanemerging_tpu.sim import sense_batch
+    speeds = ctrl(sense_batch(state.env.world, cfg))
+    assert speeds.shape == (4,)
