@@ -18,6 +18,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from rl_mpc_lanemerging_tpu.config import Settings
 from rl_mpc_lanemerging_tpu.planner import mpc
 from rl_mpc_lanemerging_tpu.sim import init_world, warmup, sense_batch
@@ -37,7 +40,7 @@ def main(batch: int = 256, iters: int = 20) -> None:
     worlds = jax.vmap(add_ego)(worlds, start)
     step = jax.jit(lambda w, c: jax.vmap(
         lambda ww, cc: world_step(ww, cc, cfg))(w, c))
-    controller = jax.jit(functools.partial(mpc.batched_controller, cfg=cfg))
+    controller = mpc.make_batched_controller(cfg)
 
     # drive egos into the merge region so the benchmark states are the
     # expensive, obstacle-rich ones (not free-road solves)

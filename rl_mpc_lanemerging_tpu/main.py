@@ -54,9 +54,11 @@ def main(argv=None) -> None:
                              "default the ambient accelerator is used")
     args = parser.parse_args(argv)
 
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = Settings() if args.config is None \
         else Settings.load_from_file(args.config)

@@ -125,3 +125,56 @@ def batched_controller(states: HighwayState, cfg: Settings):
     commands.  This is the flagship fused per-tick program."""
     fn = lambda s: st_control_speed(s, cfg)[0]
     return jax.vmap(fn)(states)
+
+
+@functools.lru_cache(maxsize=8)
+def _pallas_solver(cfg: Settings):
+    from ..ops.st_pallas import make_pallas_solver
+    w = weights_from_settings(cfg)
+    max_off = st_dp.default_max_offset(
+        cfg.MAX_SPEED, cfg.T_DISCRETIZATION, cfg.S_DISCRETIZATION)
+    return make_pallas_solver(cfg.T_DISCRETIZATION, cfg.S_DISCRETIZATION,
+                              w, max_off, cfg.num_t, cfg.num_s)
+
+
+def batched_controller_pallas(states: HighwayState, cfg: Settings):
+    """TPU production controller: jnp grid build + Pallas wavefront DP +
+    batched QP.  Batch must be a multiple of ops.st_pallas.LANE_TILE."""
+    dtype = jnp.float32
+    grids = jax.vmap(lambda s: build_st_grid(s, cfg, dtype))(states)
+    seq = _pallas_solver(cfg)(
+        grids.obstacles, grids.s_values, grids.ego_speed,
+        states.ego_accel.astype(dtype), grids.distances)
+    num_t = seq.shape[1]
+    trailing = jnp.argmax(jnp.flip(seq, axis=1) != 0.0, axis=1)
+    all_zero = jnp.all(seq == 0.0, axis=1)
+    valid = jnp.where(all_zero, 1, num_t - trailing).astype(jnp.int32)
+
+    if cfg.TICK_LENGTH < cfg.T_DISCRETIZATION:
+        op = qp.build_operator(cfg.fine_horizon, cfg.TICK_LENGTH)
+        fine, fine_len = jax.vmap(
+            lambda sq, vl, v, a: qp.finer_fit_qp(
+                sq, vl, v, a, op, cfg.T_DISCRETIZATION, cfg.MAX_SPEED,
+                cfg.MAX_POSITIVE_ACCELERATION,
+                cfg.MAX_NEGATIVE_ACCELERATION,
+                cfg.MAXIMUM_POSITIVE_JERK, cfg.MINIMUM_NEGATIVE_JERK,
+                iterations=cfg.QP_ITERATIONS))(
+            seq, valid, states.ego_speed.astype(dtype),
+            states.ego_accel.astype(dtype))
+        step_dt = cfg.TICK_LENGTH
+    else:
+        fine, fine_len = seq, valid
+        step_dt = cfg.T_DISCRETIZATION
+
+    speed = (fine[:, 1] - fine[:, 0]) / step_dt
+    speed = jnp.where(fine_len <= 1, states.ego_speed.astype(dtype), speed)
+    return speed
+
+
+def make_batched_controller(cfg: Settings, force_reference: bool = False):
+    """Pick the production controller for the current backend: the Pallas
+    path on accelerators, the portable vmapped path elsewhere."""
+    if not force_reference and jax.default_backend() != "cpu":
+        return jax.jit(functools.partial(batched_controller_pallas,
+                                         cfg=cfg))
+    return jax.jit(functools.partial(batched_controller, cfg=cfg))

@@ -84,8 +84,16 @@ def evaluate_controller(cfg: Settings, controller: Controller,
 
 def evaluate_st(cfg: Settings, num_episodes: Optional[int] = None,
                 dtype=jnp.float32, verbose: bool = True) -> StatsAggregator:
-    """TASK="ST": pure MPC evaluation (reference st.py:817-824)."""
-    controller = functools.partial(mpc.batched_controller, cfg=cfg)
+    """TASK="ST": pure MPC evaluation (reference st.py:817-824).
+
+    Uses the Pallas production controller on accelerators when the batch
+    is compatible with its lane tiling; the portable path otherwise.
+    """
+    from .ops.st_pallas import LANE_TILE
+    batch = cfg.BATCH_SCENARIOS
+    force_reference = batch % LANE_TILE != 0
+    controller = mpc.make_batched_controller(cfg,
+                                             force_reference=force_reference)
     agg = evaluate_controller(cfg, controller, num_episodes, dtype=dtype,
                               verbose=verbose)
     if verbose:
