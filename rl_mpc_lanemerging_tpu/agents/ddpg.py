@@ -99,7 +99,11 @@ def make_train_state(cfg: Settings, world: WorldState, rng: jax.Array,
 
 
 def _update(cfg: Settings, lr: float, actor_params, critic_params,
-            target_actor, target_critic, a_opt, c_opt, batch):
+            target_actor, target_critic, a_opt, c_opt, batch,
+            axis_name: str | None = None):
+    """One DDPG update.  With ``axis_name`` the gradients are pmean-reduced
+    across the device mesh (data-parallel training, SURVEY §2.3), keeping
+    every device's parameter copy identical."""
     actor, critic = _nets(cfg)
     act = batch["action"][:, None]
 
@@ -113,6 +117,8 @@ def _update(cfg: Settings, lr: float, actor_params, critic_params,
         return jnp.mean((q - target) ** 2)
 
     c_grads = jax.grad(critic_loss)(critic_params)
+    if axis_name is not None:
+        c_grads = jax.lax.pmean(c_grads, axis_name)
     c_updates, c_opt = optax.adam(lr).update(c_grads, c_opt, critic_params)
     critic_params = optax.apply_updates(critic_params, c_updates)
 
@@ -121,6 +127,8 @@ def _update(cfg: Settings, lr: float, actor_params, critic_params,
         return -jnp.mean(critic.apply(critic_params, batch["obs"], a))
 
     a_grads = jax.grad(actor_loss)(actor_params)
+    if axis_name is not None:
+        a_grads = jax.lax.pmean(a_grads, axis_name)
     a_updates, a_opt = optax.adam(lr).update(a_grads, a_opt, actor_params)
     actor_params = optax.apply_updates(actor_params, a_updates)
 
@@ -130,12 +138,10 @@ def _update(cfg: Settings, lr: float, actor_params, critic_params,
             soft(target_critic, critic_params), a_opt, c_opt)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "env_ticks", "lr",
-                                             "updates_per_tick",
-                                             "wait_before_start"))
-def train_round(state: DDPGTrainState, cfg: Settings, lr: float,
-                env_ticks: int = 64, updates_per_tick: int = 64,
-                wait_before_start: float = 20.0) -> DDPGTrainState:
+def _train_round_impl(state: DDPGTrainState, cfg: Settings, lr: float,
+                      env_ticks: int = 64, updates_per_tick: int = 64,
+                      wait_before_start: float = 20.0,
+                      axis_name: str | None = None) -> DDPGTrainState:
     """env_ticks batched env steps; ``updates_per_tick`` gradient updates
     per tick once the replay warms up.  The reference library does one
     update per environment frame (update_frequency=1); with B scenarios
@@ -176,7 +182,8 @@ def train_round(state: DDPGTrainState, cfg: Settings, lr: float,
                 rng, k = jax.random.split(rng)
                 _, batch = rb.sample(replay, k, DDPG_BATCH)
                 ap, cp, ta, tc, ao, co = _update(cfg, lr, ap, cp, ta, tc,
-                                                 ao, co, batch)
+                                                 ao, co, batch,
+                                                 axis_name=axis_name)
                 return (rng, ap, cp, ta, tc, ao, co), None
 
             out, _ = jax.lax.scan(upd, args, None, length=updates_per_tick)
@@ -198,6 +205,53 @@ def train_round(state: DDPGTrainState, cfg: Settings, lr: float,
 
     state, _ = jax.lax.scan(tick, state, None, length=env_ticks)
     return state
+
+
+train_round = jax.jit(_train_round_impl,
+                      static_argnames=("cfg", "env_ticks", "lr",
+                                       "updates_per_tick",
+                                       "wait_before_start", "axis_name"))
+
+
+def make_sharded_train(cfg: Settings, mesh, rng: jax.Array, lr: float,
+                       env_ticks: int = 200, updates_per_tick: int = 64,
+                       init_params: tuple | None = None,
+                       wait_before_start: float = 20.0):
+    """Data-parallel trainer over the scenario mesh: each device owns a
+    full local train state (envs + replay + a parameter copy); updates
+    pmean their gradients so the copies stay identical (SURVEY §2.3
+    actor/learner parallelism; the reference trains strictly
+    single-process, dqn.py:272-354).
+
+    Returns (global_state, round_fn) where round_fn advances every shard
+    one train round.
+    """
+    from .. import tasks
+    from ..parallel import sharded
+    from ..parallel.mesh import SCENARIO_AXIS
+
+    n = mesh.devices.size
+    keys = jax.random.split(rng, n)
+    locals_ = []
+    for i in range(n):
+        world = tasks.make_worlds(cfg.replace(SEED=int(cfg.SEED) + i
+                                              if cfg.SEED != "Random"
+                                              else cfg.SEED))
+        locals_.append(make_train_state(
+            cfg, world, keys[i], lr=lr, init_params=init_params,
+            wait_before_start=wait_before_start))
+        if init_params is None:
+            # every shard must start from the same parameter copy (DP)
+            init_params = (locals_[0].actor_params,
+                           locals_[0].critic_params)
+    gstate = sharded.shard_train_state(sharded.stack_states(locals_), mesh)
+
+    body = functools.partial(
+        _train_round_impl, cfg=cfg, lr=lr, env_ticks=env_ticks,
+        updates_per_tick=updates_per_tick,
+        wait_before_start=wait_before_start, axis_name=SCENARIO_AXIS)
+    round_fn = sharded.sharded_train_round(body, mesh)
+    return gstate, round_fn
 
 
 def actor_jerk(actor_params, cfg: Settings):

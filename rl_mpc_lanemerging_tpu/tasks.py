@@ -51,24 +51,43 @@ def evaluate_controller(cfg: Settings, controller: Controller,
                         max_episode_length: float = 100.0,
                         wait_before_start: float = 50.0,
                         verbose: bool = True,
-                        custom_stats: Optional[Callable] = None
-                        ) -> StatsAggregator:
+                        custom_stats: Optional[Callable] = None,
+                        mesh="auto") -> StatsAggregator:
     """Batched ``evaluate_control`` (reference control.py:343-363): run
     ceil(num_episodes / batch) rounds of lockstep episodes, aggregating the
     same per-episode metrics.  The traffic world persists across rounds,
-    mirroring the persistent SUMO process."""
+    mirroring the persistent SUMO process.
+
+    ``mesh="auto"`` shards the scenario batch over every visible device
+    (SURVEY §2.3); pass None to force single-device, or an explicit Mesh.
+    """
+    from .parallel import sharded
     num_episodes = num_episodes or cfg.NUM_EPISODES
     batch = batch or cfg.BATCH_SCENARIOS
+    if mesh == "auto":
+        mesh = sharded.auto_mesh()
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        batch = -(-batch // n_dev) * n_dev          # pad to device multiple
+        runner = sharded.sharded_episode_runner(
+            cfg, controller, mesh,
+            max_episode_length=max_episode_length,
+            wait_before_start=wait_before_start)
+    else:
+        runner = functools.partial(
+            run_episode_batch, cfg=cfg, controller=controller,
+            max_episode_length=max_episode_length,
+            wait_before_start=wait_before_start)
     agg = StatsAggregator(cfg)
     worlds = make_worlds(cfg, batch, dtype)
+    if mesh is not None:
+        from .parallel import shard_batch
+        worlds = shard_batch(worlds, mesh)
     rounds = -(-num_episodes // batch)
     pending = []          # (stats, wall) per round; walls fixed up below
     for r in range(rounds):
         t0 = time.perf_counter()
-        worlds, stats = run_episode_batch(
-            worlds, cfg, controller,
-            max_episode_length=max_episode_length,
-            wait_before_start=wait_before_start)
+        worlds, stats = runner(worlds)
         stats = jax.tree.map(np.asarray, jax.block_until_ready(stats))
         wall = time.perf_counter() - t0
         pending.append((stats, wall))
@@ -98,8 +117,11 @@ def evaluate_st(cfg: Settings, num_episodes: Optional[int] = None,
     is compatible with its lane tiling; the portable path otherwise.
     """
     from .ops.st_pallas import LANE_TILE
+    from .parallel import sharded
     batch = cfg.BATCH_SCENARIOS
-    force_reference = batch % LANE_TILE != 0
+    mesh = sharded.auto_mesh()
+    local_batch = batch // mesh.devices.size if mesh is not None else batch
+    force_reference = local_batch % LANE_TILE != 0
     controller = mpc.make_batched_controller(cfg,
                                              force_reference=force_reference)
     agg = evaluate_controller(cfg, controller, num_episodes, dtype=dtype,
