@@ -37,9 +37,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
-    from jax import shard_map          # jax >= 0.8
-except ImportError:                    # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map as _shard_map   # jax >= 0.8
+    _REP_KW = "check_vma"
+except ImportError:                            # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _REP_KW = "check_rep"
+
+
+def shard_map(f, *, mesh, in_specs, out_specs):
+    """Version-compat shard_map with the replication check disabled (our
+    bodies legitimately produce per-shard values)."""
+    return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      **{_REP_KW: False})
 
 from .mesh import SCENARIO_AXIS, make_mesh, shard_batch
 
@@ -93,7 +102,7 @@ def sharded_episode_runner(cfg, controller, mesh: Mesh,
 
     spec = P(SCENARIO_AXIS)
     fn = shard_map(local, mesh=mesh, in_specs=(spec,),
-                   out_specs=(spec, spec), check_rep=False)
+                   out_specs=(spec, spec))
     return jax.jit(fn)
 
 
@@ -129,5 +138,5 @@ def sharded_train_round(body: Callable, mesh: Mesh) -> Callable:
         return jax.tree.map(lambda x: x[None], local)
 
     fn = shard_map(global_body, mesh=mesh, in_specs=(spec,),
-                   out_specs=spec, check_rep=False)
+                   out_specs=spec)
     return jax.jit(fn)
