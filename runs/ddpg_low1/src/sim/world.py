@@ -40,47 +40,9 @@ from ..config import Settings
 from ..prediction import HighwayState, EGO_CRASH_THRESHOLD
 
 __all__ = ["WorldState", "init_world", "world_step", "sense", "add_ego",
-           "remove_ego", "IDM_TYPE_TABLE", "IDM_TYPE_PROBS",
-           "alternate_flow_probability"]
+           "remove_ego"]
 
 _INACTIVE_X = -1e9
-
-# ---------------------------------------------------------------------------
-# Alternate traffic distribution: the 6-personality IDM vType mix of
-# merge2{,b,c}.rou.xml (reference sumo.py:36-46 selects the file by
-# TRAFFIC_DENSITY; the files differ only in flow insertion probability).
-# Columns: accel a, decel b, minGap s0, headway tau, speedFactor mean,
-# speedFactor dev, speedFactor min, speedFactor max, vType maxSpeed,
-# emergencyDecel.  Rows: aggressive, cautious, slowbrake, slow, reallyslow,
-# normal (merge2.rou.xml vTypeDistribution).
-# ---------------------------------------------------------------------------
-import numpy as _np_mod
-
-IDM_TYPE_TABLE = _np_mod.asarray([
-    # a     b    s0   tau  sfm   sfd  sfmin sfmax vmax  emerg
-    [4.5,  6.0,  2.0, 0.5, 1.30, 0.1, 0.2,  2.0,  40.0, 9.0],   # aggressive
-    [4.5,  6.0,  7.5, 1.5, 0.90, 0.1, 0.2,  2.0,  40.0, 9.0],   # cautious
-    [1.5,  2.0,  2.5, 1.0, 1.00, 0.1, 0.2,  2.0,  40.0, 3.0],   # slowbrake
-    [3.0,  4.5,  2.5, 1.0, 0.50, 0.1, 0.2,  2.0,  20.0, 6.0],   # slow
-    [3.0,  4.5,  2.5, 1.0, 0.25, 0.1, 0.15, 2.0,  10.0, 6.0],   # reallyslow
-    [4.5,  6.0,  2.5, 1.0, 1.00, 0.1, 0.2,  2.0,  40.0, 9.0],   # normal
-], dtype=_np_mod.float64)
-IDM_TYPE_PROBS = _np_mod.asarray([0.2, 0.1, 0.1, 0.08, 0.02, 0.5])
-_SPEED_LIMIT = 30.0          # every lane in merge.net.xml is speed="30.00"
-_IDM_DELTA = 4.0
-_CAUTIOUS_IDX = 1
-
-
-def alternate_flow_probability(cfg: Settings) -> float:
-    """Per-tick insertion probability of the alternate flow (reference
-    sumo.py:36-44: low -> merge2.rou.xml p=0.3, medium -> merge2b p=0.45,
-    high -> merge2c p=0.6)."""
-    table = {"low": 0.3, "medium": 0.45, "high": 0.6}
-    try:
-        return table[cfg.TRAFFIC_DENSITY]
-    except KeyError:
-        raise ValueError(
-            f"Unknown TRAFFIC_DENSITY: {cfg.TRAFFIC_DENSITY}")
 
 
 class WorldState(NamedTuple):
@@ -90,7 +52,6 @@ class WorldState(NamedTuple):
     cars_v: jax.Array        # (N,)
     cars_prev_v: jax.Array   # (N,) for accel sensing
     cars_active: jax.Array   # (N,) bool
-    cars_params: jax.Array   # (N, 6) IDM params [a, b, s0, tau, v0, emerg]
     ego_active: jax.Array    # () bool
     ego_arc: jax.Array       # () route arc position
     ego_v: jax.Array         # ()
@@ -109,7 +70,6 @@ def init_world(rng, cfg: Settings, dtype=jnp.float32) -> WorldState:
         cars_v=jnp.zeros((n,), dtype),
         cars_prev_v=jnp.zeros((n,), dtype),
         cars_active=jnp.zeros((n,), bool),
-        cars_params=jnp.zeros((n, 6), dtype),
         ego_active=jnp.asarray(False),
         ego_arc=z, ego_v=z, ego_prev_v=z,
         spawn_delay=z,
@@ -138,26 +98,6 @@ def _krauss_next_speed(v, gap, leader_v, cfg: Settings, dtype):
     # (vType decel=6; SUMO caps emergency braking near it) — which is what
     # makes collisions *possible* when the ego cuts in too hard
     return jnp.maximum(jnp.maximum(v_des, v - b * dt), 0.0)
-
-
-def _idm_next_speed(v, net_gap, leader_v, has_leader, params, dt, dtype):
-    """IDM follower for the alternate traffic personalities
-    (merge2.rou.xml carFollowModel="IDM"; standard IDM with delta=4,
-    braking capped at the vType's emergencyDecel)."""
-    a = params[:, 0]
-    b = params[:, 1]
-    s0 = params[:, 2]
-    tau = params[:, 3]
-    v0 = jnp.maximum(params[:, 4], 0.1)
-    emerg = params[:, 5]
-    dv = v - leader_v
-    s_star = s0 + jnp.maximum(v * tau + v * dv / (2.0 * jnp.sqrt(a * b)),
-                              0.0)
-    gap = jnp.maximum(net_gap, 0.1)
-    interaction = jnp.where(has_leader, (s_star / gap) ** 2, 0.0)
-    acc = a * (1.0 - (v / v0) ** _IDM_DELTA - interaction)
-    acc = jnp.maximum(acc, -emerg)
-    return jnp.maximum(v + acc * dt, 0.0)
 
 
 def world_step(world: WorldState, ego_speed_command, cfg: Settings
@@ -199,20 +139,11 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
     leader_x = jnp.where(ego_between, ego_x, leader_x)
     leader_v = jnp.where(ego_between, world.ego_v, leader_v)
 
-    if cfg.USE_ALTERNATE_TRAFFIC_DISTRIBUTION:
-        net_gap = leader_x - cfg.CAR_LENGTH - x      # bumper-to-bumper
-        has_lead = jnp.isfinite(leader_x)
-        new_cars_v = jnp.where(
-            active,
-            _idm_next_speed(world.cars_v, net_gap, leader_v, has_lead,
-                            world.cars_params, dt, dtype),
-            0.0)
-    else:
-        gap = leader_x - cfg.CAR_LENGTH - x - 1.0   # minGap=1 (rou.xml)
-        new_cars_v = jnp.where(
-            active,
-            _krauss_next_speed(world.cars_v, gap, leader_v, cfg, dtype),
-            0.0)
+    gap = leader_x - cfg.CAR_LENGTH - x - 1.0   # minGap=1 (rou.xml)
+    new_cars_v = jnp.where(
+        active,
+        _krauss_next_speed(world.cars_v, gap, leader_v, cfg, dtype),
+        0.0)
     new_cars_x = jnp.where(active, x + new_cars_v * dt, x)
 
     # --- ego: speedMode 22 -> accel/decel limited toward the command ---
@@ -236,54 +167,18 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
     collided_now = world.ego_active & ~arrived_now \
         & (new_ego_s > EGO_CRASH_THRESHOLD) & jnp.any(overlap)
 
-    # --- spawner ---
-    rng, k_vary, k_type, k_sf, k_dep = jax.random.split(world.rng, 5)
+    # --- spawner (control.py:218-226) ---
+    rng, k_vary = jax.random.split(world.rng)
+    do_spawn = world.spawn_delay <= 0.0
     free = ~new_active
     slot = jnp.argmax(free)
+    can_spawn = do_spawn & jnp.any(free)
     # insertion safety: rearmost car must leave room at the entry point
     # (SUMO delays unsafe insertions; with >=1.2 s headways this is rare)
     entry_gap = jnp.min(jnp.where(new_active, new_cars_x, jnp.inf)) \
-        - geometry.TRAFFIC_SPAWN_X - cfg.CAR_LENGTH
-
-    if cfg.USE_ALTERNATE_TRAFFIC_DISTRIBUTION:
-        # alternate flow: Bernoulli insertion at the route file's
-        # probability each tick, vType sampled from the 6-personality
-        # distribution (merge2.rou.xml flow probability + vTypeDistribution)
-        p_flow = alternate_flow_probability(cfg)
-        do_spawn = jax.random.uniform(k_vary, dtype=dtype) < p_flow
-        type_idx = jax.random.choice(
-            k_type, IDM_TYPE_PROBS.shape[0],
-            p=jnp.asarray(IDM_TYPE_PROBS, dtype))
-        row = jnp.asarray(IDM_TYPE_TABLE, dtype)[type_idx]
-        # speedFactor ~ normc(mean, dev, min, max); SUMO resamples outside
-        # the bounds, we clip — within ~2 sigma the difference is tiny
-        sf = jnp.clip(row[4] + row[5] * jax.random.normal(k_sf, dtype=dtype),
-                      row[6], row[7])
-        v_desired = jnp.minimum(sf * _SPEED_LIMIT, row[8])
-        params_new = jnp.stack([row[0], row[1], row[2], row[3],
-                                v_desired, row[9]])
-        # flow departSpeed=10 clamped to the type's desired speed; the
-        # cautious personality departs at departSpeed="random"
-        spawn_v = jnp.where(
-            type_idx == _CAUTIOUS_IDX,
-            jax.random.uniform(k_dep, dtype=dtype) * v_desired,
-            jnp.minimum(jnp.asarray(10.0, dtype), v_desired))
-        can_spawn = do_spawn & jnp.any(free) & (entry_gap > row[2])
-        new_delay = world.spawn_delay            # unused by this flow
-    else:
-        do_spawn = world.spawn_delay <= 0.0
-        can_spawn = do_spawn & jnp.any(free) & (entry_gap > 1.0)
-        spawn_v = jnp.asarray(cfg.OTHER_CAR_SPEED, dtype)
-        params_new = jnp.zeros((6,), dtype)
-        vary = jax.random.uniform(k_vary, dtype=dtype) \
-            if cfg.VARY_TRAFFIC_START_TIMES else jnp.zeros((), dtype)
-        interval = vary + cfg.BASE_TRAFFIC_INTERVAL
-        new_delay = jnp.where(do_spawn & can_spawn,
-                              interval, world.spawn_delay)
-        # an unsafe insertion retries next tick (delay stays <= 0)
-        new_delay = jnp.where(do_spawn & ~can_spawn, world.spawn_delay,
-                              new_delay) - dt
-
+        - geometry.TRAFFIC_SPAWN_X - cfg.CAR_LENGTH - 1.0
+    can_spawn = can_spawn & (entry_gap > 0.0)
+    spawn_v = jnp.asarray(cfg.OTHER_CAR_SPEED, dtype)
     new_cars_x = jnp.where(can_spawn,
                            new_cars_x.at[slot].set(geometry.TRAFFIC_SPAWN_X),
                            new_cars_x)
@@ -291,15 +186,20 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
                              new_cars_v)
     prev_v = jnp.where(can_spawn,
                        world.cars_v.at[slot].set(spawn_v), world.cars_v)
-    new_params = jnp.where(can_spawn,
-                           world.cars_params.at[slot].set(params_new),
-                           world.cars_params)
     new_active = jnp.where(can_spawn, new_active.at[slot].set(True),
                            new_active)
+    vary = jax.random.uniform(k_vary, dtype=dtype) \
+        if cfg.VARY_TRAFFIC_START_TIMES else jnp.zeros((), dtype)
+    interval = vary + cfg.BASE_TRAFFIC_INTERVAL
+    new_delay = jnp.where(do_spawn & can_spawn,
+                          interval, world.spawn_delay)
+    # an unsafe insertion retries next tick (delay stays <= 0)
+    new_delay = jnp.where(do_spawn & ~can_spawn, world.spawn_delay,
+                          new_delay) - dt
 
     return WorldState(
         cars_x=new_cars_x, cars_v=new_cars_v_s, cars_prev_v=prev_v,
-        cars_active=new_active, cars_params=new_params,
+        cars_active=new_active,
         ego_active=world.ego_active & ~arrived_now & ~collided_now,
         ego_arc=new_ego_arc, ego_v=new_ego_v, ego_prev_v=world.ego_v,
         spawn_delay=new_delay,
