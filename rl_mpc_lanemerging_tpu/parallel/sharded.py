@@ -89,20 +89,23 @@ def auto_mesh() -> Optional[Mesh]:
 
 def sharded_episode_runner(cfg, controller, mesh: Mesh,
                            max_episode_length: float,
-                           wait_before_start: float) -> Callable:
-    """worlds (sharded on scenario axis) -> (worlds', EpisodeStats), with
-    each device running its shard's episodes independently."""
+                           wait_before_start: float,
+                           record_history: bool = False) -> Callable:
+    """worlds (sharded on scenario axis) -> (worlds', EpisodeStats[, hist]),
+    with each device running its shard's episodes independently."""
     from ..sim.episode import run_episode_batch
 
     def local(worlds):
         return run_episode_batch(
             worlds, cfg, controller,
             max_episode_length=max_episode_length,
-            wait_before_start=wait_before_start)
+            wait_before_start=wait_before_start,
+            record_history=record_history)
 
     spec = P(SCENARIO_AXIS)
+    out_specs = (spec, spec, spec) if record_history else (spec, spec)
     fn = shard_map(local, mesh=mesh, in_specs=(spec,),
-                   out_specs=(spec, spec))
+                   out_specs=out_specs)
     return jax.jit(fn)
 
 

@@ -164,16 +164,21 @@ def _tick_metrics(stats: EpisodeStats, state: HighwayState, prev_accel,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "controller", "max_episode_length",
-                                    "wait_before_start", "limit_metrics"))
+                                    "wait_before_start", "limit_metrics",
+                                    "record_history"))
 def run_episode_batch(world: WorldState, cfg: Settings,
                       controller: Controller,
                       max_episode_length: float = 100.0,
                       wait_before_start: float = 50.0,
-                      limit_metrics: bool = False):
+                      limit_metrics: bool = False,
+                      record_history: bool = False):
     """One full episode for every scenario in the batch.
 
     ``world`` is a batched WorldState pytree (leading axis B).  Returns
-    (world_after, EpisodeStats).  The loop runs until every scenario has
+    (world_after, EpisodeStats) — plus a per-tick ``HighwayState`` history
+    pytree of shape (B, max_ticks+1, ...) when ``record_history`` (the
+    crash-forensics capture; reference control.py:280-281 state_history +
+    stats.py:75-77 crash pickling).  The loop runs until every scenario has
     terminated (arrival / collision / tick budget), scenarios that finish
     early are frozen — identical semantics to running the reference's
     sequential episodes B times.
@@ -196,13 +201,20 @@ def run_episode_batch(world: WorldState, cfg: Settings,
     stats0 = _zero_stats(batch, dtype)._replace(start_speed=start_speeds)
     prev_accel0 = jnp.zeros((batch,), dtype)
     done0 = jnp.zeros((batch,), bool)
+    state0 = sense_batch(world, cfg)
+    if record_history:
+        hist0 = jax.tree.map(
+            lambda x: jnp.zeros((batch, max_ticks + 1) + x.shape[1:],
+                                x.dtype), state0)
+    else:
+        hist0 = None
 
     def cond(carry):
-        w, stats, prev_a, done, tick = carry
+        w, stats, prev_a, done, tick, hist = carry
         return (~jnp.all(done)) & (tick <= max_ticks)
 
     def body(carry):
-        w, stats, prev_a, done, tick = carry
+        w, stats, prev_a, done, tick, hist = carry
 
         arrived = w.ego_arrived & ~done
         collided = w.ego_collided & ~done
@@ -214,6 +226,11 @@ def run_episode_batch(world: WorldState, cfg: Settings,
         active = ~done
 
         state = sense_batch(w, cfg)
+        if record_history:
+            idx = jnp.where(active, stats.ticks, max_ticks)  # scratch row
+            rows = jnp.arange(batch)
+            hist = jax.tree.map(
+                lambda h, s: h.at[rows, idx].set(s), hist, state)
         if not limit_metrics:
             stats = _tick_metrics(stats, state, prev_a, active, cfg)
         else:
@@ -235,16 +252,20 @@ def run_episode_batch(world: WorldState, cfg: Settings,
         w_next = jax.vmap(lambda ww, c: world_step(ww, c, cfg))(w, speed_cmd)
         w = jax.tree.map(
             lambda new, old: _mask_select(active, new, old), w_next, w)
-        return (w, stats, prev_a, done, tick + 1)
+        return (w, stats, prev_a, done, tick + 1, hist)
 
-    carry = (world, stats0, prev_accel0, done0, jnp.asarray(1, jnp.int32))
-    w, stats, prev_a, done, tick = jax.lax.while_loop(cond, body, carry)
+    carry = (world, stats0, prev_accel0, done0, jnp.asarray(1, jnp.int32),
+             hist0)
+    w, stats, prev_a, done, tick, hist = jax.lax.while_loop(
+        cond, body, carry)
 
     # tick-budget overrun: remove ego, not merged, not crashed
     # (control.py:312-316)
     overran = ~done
     w = jax.vmap(lambda ww, o: jax.tree.map(
         lambda a, b: jnp.where(o, a, b), remove_ego(ww), ww))(w, overran)
+    if record_history:
+        return w, stats, hist
     return w, stats
 
 

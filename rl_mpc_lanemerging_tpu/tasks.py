@@ -52,7 +52,9 @@ def evaluate_controller(cfg: Settings, controller: Controller,
                         wait_before_start: float = 50.0,
                         verbose: bool = True,
                         custom_stats: Optional[Callable] = None,
-                        mesh="auto") -> StatsAggregator:
+                        mesh="auto",
+                        save_state_on_crash: bool = False,
+                        run_dir: str = ".") -> StatsAggregator:
     """Batched ``evaluate_control`` (reference control.py:343-363): run
     ceil(num_episodes / batch) rounds of lockstep episodes, aggregating the
     same per-episode metrics.  The traffic world persists across rounds,
@@ -72,12 +74,14 @@ def evaluate_controller(cfg: Settings, controller: Controller,
         runner = sharded.sharded_episode_runner(
             cfg, controller, mesh,
             max_episode_length=max_episode_length,
-            wait_before_start=wait_before_start)
+            wait_before_start=wait_before_start,
+            record_history=save_state_on_crash)
     else:
         runner = functools.partial(
             run_episode_batch, cfg=cfg, controller=controller,
             max_episode_length=max_episode_length,
-            wait_before_start=wait_before_start)
+            wait_before_start=wait_before_start,
+            record_history=save_state_on_crash)
     agg = StatsAggregator(cfg)
     worlds = make_worlds(cfg, batch, dtype)
     if mesh is not None:
@@ -87,9 +91,16 @@ def evaluate_controller(cfg: Settings, controller: Controller,
     pending = []          # (stats, wall) per round; walls fixed up below
     for r in range(rounds):
         t0 = time.perf_counter()
-        worlds, stats = runner(worlds)
+        out = runner(worlds)
+        if save_state_on_crash:
+            worlds, stats, history = out
+        else:
+            (worlds, stats), history = out, None
         stats = jax.tree.map(np.asarray, jax.block_until_ready(stats))
         wall = time.perf_counter() - t0
+        if history is not None and bool(np.any(stats.crashed)):
+            from .forensics import dump_crashes
+            dump_crashes(stats, history, run_dir=run_dir)
         pending.append((stats, wall))
         if verbose:
             done = min((r + 1) * batch, num_episodes)
@@ -124,8 +135,14 @@ def evaluate_st(cfg: Settings, num_episodes: Optional[int] = None,
     force_reference = local_batch % LANE_TILE != 0
     controller = mpc.make_batched_controller(cfg,
                                              force_reference=force_reference)
+    # TASK="ST" dumps crashing episodes for offline replay (reference
+    # st.py:822-824 evaluate_st_and_dump_crash)
+    import os
+    run_dir = os.path.join("runs", cfg.LOG_DIR)
+    os.makedirs(run_dir, exist_ok=True)
     agg = evaluate_controller(cfg, controller, num_episodes, dtype=dtype,
-                              verbose=verbose)
+                              verbose=verbose, save_state_on_crash=True,
+                              run_dir=run_dir)
     if verbose:
         agg.print_stats()
     return agg
