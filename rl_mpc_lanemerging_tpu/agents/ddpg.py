@@ -413,9 +413,11 @@ def evaluate_combined(cfg: Settings, params=None, verbose: bool = True):
     if params is None:
         params = _load_actor(cfg)
     policy = actor_jerk(params, cfg)
-    controller, takeover_stats = combined_controller(policy, cfg)
+    controller, init_carry, takeover_stats = combined_controller(policy, cfg)
+    carry = init_carry(cfg.BATCH_SCENARIOS) if init_carry else None
     agg = tasks.evaluate_controller(cfg, controller, verbose=verbose,
-                                    custom_stats=takeover_stats)
+                                    custom_stats=takeover_stats,
+                                    controller_carry=carry)
     if verbose:
         agg.print_stats()
     agg.add_csv_data()

@@ -87,8 +87,8 @@ def test_combined_controller_gates():
 
     # a constant moderate-jerk policy
     policy = lambda states: jnp.full_like(states.ego_speed, 0.5)
-    control, batch_stats = combined_controller(policy, cfg,
-                                               dtype=jnp.float64)
+    control, _, batch_stats = combined_controller(policy, cfg,
+                                                  dtype=jnp.float64)
 
     def batch_of(states_list):
         return jax.tree.map(lambda *xs: jnp.stack(xs), *states_list)
@@ -114,7 +114,7 @@ def test_combined_in_episode_loop():
     from rl_mpc_lanemerging_tpu.agents.combined import combined_controller
     cfg = CFG.replace(CRASH_MIN_S=20.0)
     policy = lambda states: jnp.zeros_like(states.ego_speed)
-    control, batch_stats = combined_controller(policy, cfg)
+    control, _, batch_stats = combined_controller(policy, cfg)
     worlds = small_worlds(2, seed=7)
     worlds, stats = run_episode_batch(worlds, cfg, control,
                                       max_episode_length=30.0,
@@ -122,4 +122,49 @@ def test_combined_in_episode_loop():
     custom = batch_stats(stats)
     pct = custom["percent st solver"]
     assert pct.shape == (2,)
+    assert np.all((pct >= 0) & (pct <= 1))
+
+
+def test_combined_hysteresis_carry():
+    """REMEMBER_LAST_CHOICE_FOR_SWITCHING_COMBINED (reference dqn.py:176):
+    after an ST tick, ST keeps control unless RL is strictly better."""
+    from rl_mpc_lanemerging_tpu.agents.combined import combined_controller
+    cfg = CFG.replace(CRASH_MIN_S=20.0,
+                      REMEMBER_LAST_CHOICE_FOR_SWITCHING_COMBINED=True)
+    policy = lambda states: jnp.zeros_like(states.ego_speed)
+    control, init_carry, batch_stats = combined_controller(policy, cfg)
+    assert init_carry is not None
+    carry = init_carry(2)
+    free = make_state(-150.0, 10.0, 12.0, 0.0, [], [], [],
+                      num_slots=cfg.MAX_SENSED_CARS)
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *[free, free])
+    (speeds, take), carry2 = control(states, carry)
+    assert carry2.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(speeds)))
+
+    # on a full-length grid the free-road ST plan accelerates hard: it is
+    # jerkier but travels further than the zero-jerk RL rollout.  Fresh
+    # comparison -> RL keeps control (ST not better on jerk); sticky
+    # comparison (last tick was ST) -> ST keeps control because RL is not
+    # strictly better on BOTH criteria (reference dqn.py:176-197).
+    cfg_full = cfg.replace(FUTURE_S=150.0)
+    control_f, init_carry_f, _ = combined_controller(policy, cfg_full)
+    (_, take_fresh), _ = control_f(states, init_carry_f(2))
+    (_, take_sticky), _ = control_f(states, jnp.ones((2,), bool))
+    assert np.all(np.asarray(take_fresh) == 0.0)
+    assert np.all(np.asarray(take_sticky) == 1.0)
+
+
+def test_stateful_controller_in_episode_loop():
+    from rl_mpc_lanemerging_tpu.agents.combined import combined_controller
+    cfg = CFG.replace(CRASH_MIN_S=20.0,
+                      REMEMBER_LAST_CHOICE_FOR_SWITCHING_COMBINED=True)
+    policy = lambda states: jnp.zeros_like(states.ego_speed)
+    control, init_carry, batch_stats = combined_controller(policy, cfg)
+    worlds = small_worlds(2, seed=9)
+    worlds, stats, carry = run_episode_batch(
+        worlds, cfg, control, max_episode_length=20.0,
+        wait_before_start=10.0, controller_carry=init_carry(2))
+    assert carry.shape == (2,)
+    pct = batch_stats(stats)["percent st solver"]
     assert np.all((pct >= 0) & (pct <= 1))
