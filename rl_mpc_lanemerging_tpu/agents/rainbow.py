@@ -363,5 +363,6 @@ def evaluate(cfg: Settings, params=None, verbose: bool = True):
     agg = tasks.evaluate_controller(cfg, controller, verbose=verbose)
     if verbose:
         agg.print_stats()
+    agg.save_plots(f"runs/{cfg.LOG_DIR}")
     agg.add_csv_data()
     return agg

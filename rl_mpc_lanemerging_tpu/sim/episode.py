@@ -65,6 +65,7 @@ class EpisodeStats(NamedTuple):
     bin_counts: jax.Array        # (B, NUM_BINS)
     bin_jerk: jax.Array          # (B, NUM_BINS)
     bin_speed: jax.Array         # (B, NUM_BINS)
+    bin_aux: jax.Array           # (B, NUM_BINS) controller flag per x-bin
     start_speed: jax.Array
     aux_sum: jax.Array           # (B,) controller-provided flag accumulator
 
@@ -81,6 +82,7 @@ def _zero_stats(batch: int, dtype) -> EpisodeStats:
         bin_counts=jnp.zeros((batch, NUM_BINS), dtype),
         bin_jerk=jnp.zeros((batch, NUM_BINS), dtype),
         bin_speed=jnp.zeros((batch, NUM_BINS), dtype),
+        bin_aux=jnp.zeros((batch, NUM_BINS), dtype),
         start_speed=z, aux_sum=z)
 
 
@@ -251,9 +253,14 @@ def run_episode_batch(world: WorldState, cfg: Settings,
             out = controller(state)
         if isinstance(out, tuple):
             speed_cmd, aux = out
+            aux_on = jnp.where(active, aux.astype(dtype), 0.0)
+            # ST-takeover flag per x-bin (the reference's takeover-vs-x
+            # histogram, dqn.py:215-226 plot_st_proportion)
+            bi = _bin_index(state.ego_x.astype(dtype))
             stats = stats._replace(
-                aux_sum=stats.aux_sum
-                + jnp.where(active, aux.astype(dtype), 0.0))
+                aux_sum=stats.aux_sum + aux_on,
+                bin_aux=stats.bin_aux.at[
+                    jnp.arange(batch), bi].add(aux_on))
         else:
             speed_cmd = out
         speed_cmd = speed_cmd.astype(dtype)

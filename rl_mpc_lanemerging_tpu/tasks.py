@@ -151,6 +151,7 @@ def evaluate_st(cfg: Settings, num_episodes: Optional[int] = None,
     agg = evaluate_controller(cfg, controller, num_episodes, dtype=dtype,
                               verbose=verbose, save_state_on_crash=True,
                               run_dir=run_dir)
+    agg.save_plots(run_dir)
     if verbose:
         agg.print_stats()
     return agg
