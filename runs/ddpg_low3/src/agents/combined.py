@@ -117,15 +117,20 @@ def _rl_rollout(policy, states: HighwayState, first_jerk, cfg: Settings):
 
 def combined_controller(policy: Callable[[HighwayState], jax.Array],
                         cfg: Settings, dtype=jnp.float32):
-    """Build (controller, batch_stats_fn).
+    """Build (controller, init_carry, batch_stats_fn).
 
     ``controller``: batched HighwayState -> (speed commands, takeover flag)
     — the flag feeds the percent-ST statistic (reference dqn.py:101-115).
+    With REMEMBER_LAST_CHOICE_FOR_SWITCHING_COMBINED the controller is
+    stateful (carry = last tick's takeover flags, the vectorized
+    ``takeover_history[-1]`` of reference dqn.py:126-127) and called as
+    ``controller(states, carry)``; ``init_carry(batch)`` builds the initial
+    carry, or is None for the stateless form.
     ``batch_stats_fn``: EpisodeStats -> custom stat dict for aggregation.
     """
+    remember = cfg.REMEMBER_LAST_CHOICE_FOR_SWITCHING_COMBINED
 
-    @functools.partial(jax.jit, static_argnames=())
-    def control(states: HighwayState):
+    def _control(states: HighwayState, last_take):
         first_jerk = policy(states)
         v = states.ego_speed.astype(dtype)
         a = states.ego_accel.astype(dtype)
@@ -166,17 +171,39 @@ def combined_controller(policy: Callable[[HighwayState], jax.Array],
                 s_hist, idxs[:, None], axis=1)[:, 0] - s_hist[:, 0]
             st_better = ((st_jerk < rl_jerk) & (st_dist > rl_dist)) \
                 | (rl_dist == 0.0)
+            if remember:
+                # hysteresis (dqn.py:176-197): after an ST tick, ST keeps
+                # control unless RL is strictly better on BOTH criteria
+                rl_better = (rl_jerk < st_jerk) & (rl_dist > st_dist)
+                st_better = jnp.where(last_take, ~rl_better, st_better)
             # degenerate smoothed path -> stick with RL (dqn.py:166-169)
             st_better = st_better & (fine_len > 1)
             take = take | (~take & st_better)
 
         speed = jnp.where(take, st_speed, rl_speed)
         return speed.astype(states.ego_speed.dtype), \
-            take.astype(jnp.float32)
+            take.astype(jnp.float32), take
+
+    if remember:
+        @jax.jit
+        def control(states: HighwayState, carry):
+            speed, take_f, take = _control(states, carry)
+            return (speed, take_f), take
+
+        def init_carry(batch: int):
+            return jnp.zeros((batch,), bool)
+    else:
+        @jax.jit
+        def control(states: HighwayState):
+            speed, take_f, _ = _control(
+                states, jnp.zeros_like(states.ego_speed, bool))
+            return speed, take_f
+
+        init_carry = None
 
     def batch_stats(stats) -> Dict[str, np.ndarray]:
         ticks = np.maximum(np.asarray(stats.ticks), 1)
         return {"percent st solver":
                 np.asarray(stats.aux_sum) / ticks}
 
-    return control, batch_stats
+    return control, init_carry, batch_stats

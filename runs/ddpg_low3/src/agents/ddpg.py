@@ -286,12 +286,15 @@ def actor_controller(actor_params, cfg: Settings):
 
 def _eval_actor(cfg: Settings, params, num_episodes: int):
     """Greedy-policy evaluation; returns (crash, merge, jerk) means
-    (reference dqn.py:282-285 periodic eval at EVALUATION_PERIOD)."""
+    (reference dqn.py:282-285 periodic eval at EVALUATION_PERIOD, run at
+    EVALUATION_TICK_LENGTH / EVALUATION_EPISODE_LENGTH — the batched
+    equivalent of sumo.change_step_size, sumo.py:65-68)."""
     from .. import tasks
-    controller = jax.jit(actor_controller(params, cfg))
-    agg = tasks.evaluate_controller(cfg, controller,
-                                    num_episodes=num_episodes,
-                                    verbose=False)
+    eval_cfg = cfg.replace(TICK_LENGTH=cfg.EVALUATION_TICK_LENGTH)
+    controller = jax.jit(actor_controller(params, eval_cfg))
+    agg = tasks.evaluate_controller(
+        eval_cfg, controller, num_episodes=num_episodes,
+        max_episode_length=cfg.EVALUATION_EPISODE_LENGTH, verbose=False)
     avg = agg.get_stat_averages()
     return avg["crashed"], avg["merged"], avg["mean_abs_jerk"]
 
@@ -402,6 +405,7 @@ def evaluate(cfg: Settings, params=None, verbose: bool = True):
     agg = tasks.evaluate_controller(cfg, controller, verbose=verbose)
     if verbose:
         agg.print_stats()
+    agg.save_plots(f"runs/{cfg.LOG_DIR}")
     agg.add_csv_data()
     return agg
 
@@ -413,10 +417,13 @@ def evaluate_combined(cfg: Settings, params=None, verbose: bool = True):
     if params is None:
         params = _load_actor(cfg)
     policy = actor_jerk(params, cfg)
-    controller, takeover_stats = combined_controller(policy, cfg)
+    controller, init_carry, takeover_stats = combined_controller(policy, cfg)
+    carry = init_carry(cfg.BATCH_SCENARIOS) if init_carry else None
     agg = tasks.evaluate_controller(cfg, controller, verbose=verbose,
-                                    custom_stats=takeover_stats)
+                                    custom_stats=takeover_stats,
+                                    controller_carry=carry)
     if verbose:
         agg.print_stats()
+    agg.save_plots(f"runs/{cfg.LOG_DIR}")
     agg.add_csv_data()
     return agg

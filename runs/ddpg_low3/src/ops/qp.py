@@ -91,6 +91,13 @@ def build_operator(n: int, delta_t: float, rho: float = 20.0) -> QPOperator:
     r = np.zeros(n)
     r[0] = 1.0                      # start pin
     rows.append(r)
+    # position rows (identity): corridor constraints against the lead /
+    # trail cars (reference st.py:672-705 C_7 rows); bounds default to
+    # +-inf so the rows are inert unless a corridor is supplied
+    for i in range(n):
+        r = np.zeros(n)
+        r[i] = 1.0
+        rows.append(r)
     a_raw = np.stack(rows)
 
     row_scale = 1.0 / np.linalg.norm(a_raw, axis=1)
@@ -118,7 +125,7 @@ def finer_fit_qp(coarse_seq, valid_len, start_speed, start_acceleration,
                  op: QPOperator, coarse_delta_t: float,
                  max_speed: float, pos_accel: float, neg_accel: float,
                  pos_jerk: float, neg_jerk: float,
-                 iterations: int = 100):
+                 iterations: int = 100, pos_lo=None, pos_hi=None):
     """Smooth a coarse DP path onto the fine tick grid (one scenario).
 
     Args:
@@ -169,8 +176,19 @@ def finer_fit_qp(coarse_seq, valid_len, start_speed, start_acceleration,
     j_hi = jnp.where(live, j_hi, _BIG)
 
     s0 = coarse_seq[0]
-    lo = jnp.concatenate([v_lo, a_lo, j_lo, s0[None]])
-    hi = jnp.concatenate([v_hi, a_hi, j_hi, s0[None]])
+    # corridor rows: per-step position box (reference st.py:672-705); the
+    # start point is pinned anyway, so relax its corridor row
+    p_lo = jnp.full(n, -_BIG, dtype) if pos_lo is None \
+        else jnp.asarray(pos_lo, dtype)
+    p_hi = jnp.full(n, _BIG, dtype) if pos_hi is None \
+        else jnp.asarray(pos_hi, dtype)
+    p_lo = p_lo.at[0].set(-_BIG)
+    p_hi = p_hi.at[0].set(_BIG)
+    live_pos = jnp.arange(n) <= fine_len - 1
+    p_lo = jnp.where(live_pos, p_lo, -_BIG)
+    p_hi = jnp.where(live_pos, p_hi, _BIG)
+    lo = jnp.concatenate([v_lo, a_lo, j_lo, s0[None], p_lo])
+    hi = jnp.concatenate([v_hi, a_hi, j_hi, s0[None], p_hi])
 
     scale = jnp.asarray(op.row_scale, dtype)
     lo = lo * scale

@@ -90,10 +90,31 @@ def auto_mesh() -> Optional[Mesh]:
 def sharded_episode_runner(cfg, controller, mesh: Mesh,
                            max_episode_length: float,
                            wait_before_start: float,
-                           record_history: bool = False) -> Callable:
-    """worlds (sharded on scenario axis) -> (worlds', EpisodeStats[, hist]),
-    with each device running its shard's episodes independently."""
+                           record_history: bool = False,
+                           with_carry: bool = False) -> Callable:
+    """worlds (sharded on scenario axis) -> (worlds', EpisodeStats[, hist]
+    [, controller carry]), with each device running its shard's episodes
+    independently."""
     from ..sim.episode import run_episode_batch
+
+    spec = P(SCENARIO_AXIS)
+    n_out = 2 + int(record_history) + int(with_carry)
+    out_specs = (spec,) * n_out
+
+    if with_carry:
+        def local(worlds, carry):
+            return run_episode_batch(
+                worlds, cfg, controller,
+                max_episode_length=max_episode_length,
+                wait_before_start=wait_before_start,
+                record_history=record_history,
+                controller_carry=carry)
+
+        fn = shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=out_specs)
+        wrapped = jax.jit(fn)
+        return lambda worlds, controller_carry: wrapped(worlds,
+                                                        controller_carry)
 
     def local(worlds):
         return run_episode_batch(
@@ -102,8 +123,6 @@ def sharded_episode_runner(cfg, controller, mesh: Mesh,
             wait_before_start=wait_before_start,
             record_history=record_history)
 
-    spec = P(SCENARIO_AXIS)
-    out_specs = (spec, spec, spec) if record_history else (spec, spec)
     fn = shard_map(local, mesh=mesh, in_specs=(spec,),
                    out_specs=out_specs)
     return jax.jit(fn)

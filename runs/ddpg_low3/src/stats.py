@@ -51,6 +51,7 @@ class StatsAggregator:
         self.bin_counts = np.zeros(len(BIN_EDGES) - 1)
         self.bin_jerk = np.zeros(len(BIN_EDGES) - 1)
         self.bin_speed = np.zeros(len(BIN_EDGES) - 1)
+        self.bin_aux = np.zeros(len(BIN_EDGES) - 1)
         self.episodes = 0
 
     def add_batch(self, stats: EpisodeStats,
@@ -109,6 +110,7 @@ class StatsAggregator:
         self.bin_counts += s["bin_counts"].sum(axis=0)
         self.bin_jerk += s["bin_jerk"].sum(axis=0)
         self.bin_speed += s["bin_speed"].sum(axis=0)
+        self.bin_aux += s["bin_aux"].sum(axis=0)
         self.episodes += b
 
         if custom:
@@ -142,6 +144,42 @@ class StatsAggregator:
                                                 stds[name])
             logger.info(message)
             print(message)
+
+    def save_plots(self, run_dir: str) -> list:
+        """Matplotlib artifacts: x-binned mean |jerk| and speed bars
+        (reference stats.py:124-133) and, when a combined controller ran,
+        the ST-takeover proportion vs x (reference dqn.py:215-226
+        ``plot_st_proportion``)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:                       # pragma: no cover
+            logger.warning("matplotlib unavailable; skipping stat plots")
+            return []
+        os.makedirs(run_dir, exist_ok=True)
+        centers = (BIN_EDGES[:-1] + BIN_EDGES[1:]) / 2.0
+        counts = np.maximum(self.bin_counts, 1)
+        written = []
+
+        def bar(values, title, fname):
+            fig, ax = plt.subplots(figsize=(7, 4))
+            ax.bar(centers, values, width=18.0)
+            ax.set_xlabel("x position (m)")
+            ax.set_title(title)
+            path = os.path.join(run_dir, fname)
+            fig.savefig(path, dpi=100)
+            plt.close(fig)
+            written.append(path)
+
+        bar(self.bin_jerk / counts, "Mean |jerk| per x segment",
+            "jerk_by_x.png")
+        bar(self.bin_speed / counts, "Mean speed per x segment",
+            "speed_by_x.png")
+        if self.bin_aux.sum() > 0:
+            bar(self.bin_aux / counts, "ST-takeover proportion per x",
+                "st_proportion_by_x.png")
+        return written
 
     # ------------------------------------------------------------------
     def get_stat_report_row_dict(self) -> dict:

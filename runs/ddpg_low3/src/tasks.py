@@ -54,7 +54,8 @@ def evaluate_controller(cfg: Settings, controller: Controller,
                         custom_stats: Optional[Callable] = None,
                         mesh="auto",
                         save_state_on_crash: bool = False,
-                        run_dir: str = ".") -> StatsAggregator:
+                        run_dir: str = ".",
+                        controller_carry=None) -> StatsAggregator:
     """Batched ``evaluate_control`` (reference control.py:343-363): run
     ceil(num_episodes / batch) rounds of lockstep episodes, aggregating the
     same per-episode metrics.  The traffic world persists across rounds,
@@ -75,7 +76,8 @@ def evaluate_controller(cfg: Settings, controller: Controller,
             cfg, controller, mesh,
             max_episode_length=max_episode_length,
             wait_before_start=wait_before_start,
-            record_history=save_state_on_crash)
+            record_history=save_state_on_crash,
+            with_carry=controller_carry is not None)
     else:
         runner = functools.partial(
             run_episode_batch, cfg=cfg, controller=controller,
@@ -89,9 +91,15 @@ def evaluate_controller(cfg: Settings, controller: Controller,
         worlds = shard_batch(worlds, mesh)
     rounds = -(-num_episodes // batch)
     pending = []          # (stats, wall) per round; walls fixed up below
+    carry = controller_carry
     for r in range(rounds):
         t0 = time.perf_counter()
-        out = runner(worlds)
+        out = runner(worlds) if carry is None \
+            else runner(worlds, controller_carry=carry)
+        if carry is not None:
+            out, carry = out[:-1], out[-1]
+            if len(out) == 1:
+                out = out[0]
         if save_state_on_crash:
             worlds, stats, history = out
         else:
@@ -143,6 +151,7 @@ def evaluate_st(cfg: Settings, num_episodes: Optional[int] = None,
     agg = evaluate_controller(cfg, controller, num_episodes, dtype=dtype,
                               verbose=verbose, save_state_on_crash=True,
                               run_dir=run_dir)
+    agg.save_plots(run_dir)
     if verbose:
         agg.print_stats()
     return agg
