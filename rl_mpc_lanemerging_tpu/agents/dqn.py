@@ -231,6 +231,64 @@ def refresh_target(state: DQNTrainState) -> DQNTrainState:
     return state._replace(target_params=state.params)
 
 
+def train(cfg: Settings, num_episodes: int | None = None,
+          verbose: bool = True, env_ticks: int = 200):
+    """Task-level driver mirroring the reference's custom trainer loop
+    (dqn.py:257-359 ``DQNAgent._train``): train for NUM_TRAINING_EPISODES
+    with the staircase epsilon schedule, refresh the target net every
+    TARGET_NET_FREEZE_PERIOD episodes (dqn.py:278-280), run a greedy eval
+    + checkpoint every EVALUATION_PERIOD episodes (dqn.py:282-285), and
+    log loss/epsilon scalars (dqn.py:308-309)."""
+    from .. import tasks
+    from ..checkpoint import save_params
+    from ..rundir import setup_run_dir
+
+    run = setup_run_dir(cfg)
+    num_episodes = num_episodes or cfg.NUM_TRAINING_EPISODES
+    worlds = tasks.make_worlds(cfg)
+    state = make_train_state(cfg, worlds, tasks.seed_key(cfg))
+    grad_per_round = max(1, cfg.TRAINING_STEPS_PER_EPISODE)
+    last_target = 0
+    last_eval = 0
+    r = 0
+    while int(state.episodes) < num_episodes:
+        state = train_round(state, cfg, env_ticks=env_ticks,
+                            grad_steps=grad_per_round * 4)
+        r += 1
+        eps_done = int(state.episodes)
+        if eps_done - last_target >= cfg.TARGET_NET_FREEZE_PERIOD:
+            state = refresh_target(state)
+            last_target = eps_done
+        if eps_done - last_eval >= cfg.EVALUATION_PERIOD:
+            last_eval = eps_done
+            eval_cfg = cfg.replace(TICK_LENGTH=cfg.EVALUATION_TICK_LENGTH)
+            controller = jax.jit(greedy_controller(state.params, eval_cfg))
+            agg = tasks.evaluate_controller(
+                eval_cfg, controller,
+                num_episodes=cfg.NUM_EVALUATION_EPISODES,
+                max_episode_length=cfg.EVALUATION_EPISODE_LENGTH,
+                verbose=False)
+            avg = agg.get_stat_averages()
+            if verbose:
+                print(f"  [eval @ {eps_done} eps] "
+                      f"crash={avg['crashed']:.4f} "
+                      f"merge={avg['merged']:.4f} "
+                      f"jerk={avg['mean_abs_jerk']:.3f}", flush=True)
+            run.log_scalars(eps_done, {"eval_crash": avg["crashed"],
+                                       "eval_merge": avg["merged"],
+                                       "eval_jerk": avg["mean_abs_jerk"]})
+            save_params(run.path, {"q": state.params})     # checkpoint
+        if verbose and r % 10 == 0:
+            state = jax.block_until_ready(state)
+            eps = float(epsilon_by_episode(state.episodes, cfg))
+            loss = float(state.loss_sum)
+            print(f"  round {r} episodes={eps_done} eps={eps:.3f} "
+                  f"loss={loss:.4f}", flush=True)
+            run.log_scalars(eps_done, {"epsilon": eps, "loss": loss})
+    save_params(run.path, {"q": state.params})
+    return state
+
+
 def greedy_controller(params, cfg: Settings):
     """HighwayState batch -> speed commands via argmax-Q jerk actuation
     (reference dqn.py:661-670 ``do_dqn_control`` at epsilon=0)."""

@@ -168,3 +168,24 @@ def test_stateful_controller_in_episode_loop():
     assert carry.shape == (2,)
     pct = batch_stats(stats)["percent st solver"]
     assert np.all((pct >= 0) & (pct <= 1))
+
+
+def test_dqn_train_driver_small():
+    """The C13 task driver: target refresh + periodic eval + checkpoints."""
+    import os
+    import tempfile
+    from rl_mpc_lanemerging_tpu.agents import dqn
+    cfg = CFG.replace(NUM_TRAINING_EPISODES=6, TARGET_NET_FREEZE_PERIOD=2,
+                      EVALUATION_PERIOD=4, NUM_EVALUATION_EPISODES=2,
+                      EVALUATION_EPISODE_LENGTH=10.0, BATCH_SCENARIOS=4,
+                      SEED=11, LOG_DIR="test_dqn_driver")
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as td:
+        os.chdir(td)
+        try:
+            state = dqn.train(cfg, verbose=False, env_ticks=120)
+            assert int(state.episodes) >= 6
+            assert os.path.exists("runs/test_dqn_driver/settings.json")
+            assert os.path.exists("runs/test_dqn_driver/scalars.csv")
+        finally:
+            os.chdir(cwd)
