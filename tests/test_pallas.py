@@ -80,3 +80,90 @@ def test_pallas_kernel_matches_dense_dp():
     # few lattices due to relative-offset rounding)
     match = np.all(np.isclose(seq_p, seq_j, atol=1e-3), axis=1).mean()
     assert match > 0.9, f"only {match:.2%} of paths matched"
+
+
+def _realistic_batch(n=128, seed=5):
+    """Production-scale grids (18 x 3001) built by the real grid builder
+    from merge-entry scenarios — the distribution the TPU kernel actually
+    sees (round-1 verdict: the parity test was small-scale only)."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from test_reference_anchor import dense_merge_state, sparse_state
+    from rl_mpc_lanemerging_tpu.planner.grid import build_st_grid
+
+    cfg = Settings.load_from_file("configs/st_default.json")
+    rng = np.random.default_rng(seed)
+    states = [dense_merge_state(rng, cfg) if i % 2 == 0
+              else sparse_state(rng, cfg) for i in range(n)]
+
+    def stack(*xs):
+        xs = [jnp.asarray(x) for x in xs]
+        if xs[0].dtype == jnp.bool_:
+            return jnp.stack(xs)
+        return jnp.stack([x.astype(jnp.float32) for x in xs])
+
+    batch = jax.tree.map(stack, *states)
+    grids = jax.vmap(lambda s: build_st_grid(s, cfg, jnp.float32))(batch)
+    return cfg, grids, batch.ego_accel.astype(jnp.float32)
+
+
+def test_pallas_full_scale_realistic_grids():
+    """T=18, S=3001 parity on realistic merge grids (interpret mode; the
+    same kernel code path the TPU compiles).  f32 equal-cost ties may move
+    a first step by at most one lattice cell on a small fraction of
+    scenarios."""
+    cfg, grids, a0 = _realistic_batch(128)
+    w = weights()
+    moff = st_dp.default_max_offset(cfg.MAX_SPEED, cfg.T_DISCRETIZATION,
+                                    cfg.S_DISCRETIZATION)
+    solver = st_pallas.make_pallas_solver(
+        cfg.T_DISCRETIZATION, cfg.S_DISCRETIZATION, w, moff,
+        cfg.num_t, cfg.num_s, interpret=True)
+    seq_p = np.asarray(solver(grids.obstacles, grids.s_values,
+                              grids.ego_speed, a0, grids.distances))
+    t_values = jnp.asarray(
+        (np.arange(cfg.num_t) * cfg.T_DISCRETIZATION).astype(np.float32))
+    dp = jax.jit(jax.vmap(
+        lambda ob, sv, es, ac, di: st_dp.solve_st_fast(
+            ob, sv, t_values, es, ac, di, w, moff)))
+    seq_j = np.asarray(dp(grids.obstacles, grids.s_values, grids.ego_speed,
+                          a0, grids.distances))
+
+    step_diff = np.abs((seq_p[:, 1] - seq_p[:, 0])
+                       - (seq_j[:, 1] - seq_j[:, 0]))
+    assert np.mean(step_diff < 1e-4) >= 0.97, \
+        f"{np.mean(step_diff >= 1e-4):.2%} first steps differ"
+    assert step_diff.max() <= 0.101, \
+        f"first-step diff beyond 2 cells: {step_diff.max()}"
+    match = np.all(np.isclose(seq_p, seq_j, atol=1e-3), axis=1).mean()
+    assert match >= 0.85, f"only {match:.2%} full paths matched"
+
+
+def test_reference_negative_range_quirk_is_reproduced():
+    """The reference solver has a latent quirk: a braking ego with
+    max_v < 0 yields an inverted feasible range, whose negative indices
+    wrap around the numpy lattice (st.py:147-163 get_all_range_indices +
+    st_cy.pyx:78-93) and produce a far-lattice jump.  The portable DP and
+    the C++ oracle both reproduce it bit-for-bit (verified against the
+    actual reference in round 2); this pins the agreement so the quirk is
+    never 'fixed' on one side only."""
+    from rl_mpc_lanemerging_tpu.ops import oracle
+    T_, S_ = 18, 3001
+    rng = np.random.default_rng(0)
+    s_values = (-121.3 + np.arange(S_) * 0.05).astype(np.float64)
+    t_values = (np.arange(T_) * 0.3).astype(np.float64)
+    obst = np.zeros((T_, S_), bool)
+    dist = np.full((T_, S_), 1e10)
+    v0, a0 = 0.01, -2.33          # braking to a stop: max_v < 0
+    w = weights()
+    moff = st_dp.default_max_offset(CFG.MAX_SPEED, 0.3, 0.05)
+    ref = oracle.solve_fast(
+        obst, s_values, t_values, v0, a0, dist,
+        w.d_weight, w.v_weight, w.a_weight, w.j_weight, w.desired_speed,
+        w.max_speed, w.negative_acceleration_limit,
+        w.positive_acceleration_limit, w.negative_jerk_limit,
+        w.positive_jerk_limit, w.min_allowed_distance)
+    got = np.asarray(st_dp.solve_st_fast(
+        jnp.asarray(obst), jnp.asarray(s_values), jnp.asarray(t_values),
+        jnp.float64(v0), jnp.float64(a0), jnp.asarray(dist), w, moff))
+    np.testing.assert_allclose(got, ref, atol=1e-9)
