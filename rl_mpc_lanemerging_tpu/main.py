@@ -105,6 +105,12 @@ def main(argv=None) -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # multi-host (DCN) plumbing: JAX_COORDINATOR/JAX_NUM_PROCESSES/
+    # JAX_PROCESS_ID env vars turn this process into one rank of an N-host
+    # mesh (SURVEY §2.3; the reference is strictly single-process)
+    from .parallel.sharded import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     cfg = Settings() if args.config is None \
         else Settings.load_from_file(args.config)
     if args.episodes is not None:
