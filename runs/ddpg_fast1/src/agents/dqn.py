@@ -1,0 +1,309 @@
+"""Custom DQN trainer: Double-DQN + prioritized replay, fully on-device.
+
+TPU-native re-design of the reference's hand-rolled trainer
+(reference: dqn.py:244-359 ``DQNAgent._train``): same hyperparameter
+semantics — staircase epsilon decay (dqn.py:275-276), target-network
+refresh every TARGET_NET_FREEZE_PERIOD episodes (dqn.py:278-280),
+prioritized insertion at max priority (dqn.py:302-304), Double-DQN targets
+with clipped bootstrap values (dqn.py:673-705), SmoothL1 + Adam
+(dqn.py:262-263), TRAINING_STEPS_PER_EPISODE grad steps of BATCH_SIZE per
+completed episode — but the single sequential episode loop becomes a
+batched async env (envs.merge_env) and each training round is one jitted
+program: a ``lax.scan`` over env ticks feeding the replay buffer, then a
+scan of prioritized grad steps.
+
+Deliberate deviation (documented): the reference's episode->SARS
+conversion never marks terminal transitions, so its targets bootstrap
+through crashes (rl.py:194-215 always supplies a next_state;
+dqn.py:679-685's None-branch is dead).  Here terminal transitions do not
+bootstrap — the standard (and better-behaved) form.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Settings
+from ..envs.merge_env import EnvKind, MergeEnvState, env_reset, env_step
+from ..models.mlp import DQNNet
+from ..rl import replay as rb
+from ..rl.obs import state_vector
+from ..sim.world import WorldState
+
+__all__ = ["DQNTrainState", "make_train_state", "train_round",
+           "greedy_controller", "epsilon_by_episode"]
+
+
+class DQNTrainState(NamedTuple):
+    params: dict
+    target_params: dict
+    opt_state: optax.OptState
+    replay: rb.Replay
+    env: MergeEnvState
+    rng: jax.Array
+    episodes: jax.Array       # () int32 completed episodes
+    loss_sum: jax.Array       # () running loss accumulator per round
+
+
+def _net(cfg: Settings) -> DQNNet:
+    return DQNNet(num_outputs=len(cfg.JERK_VALUES_DQN),
+                  dropout=cfg.USE_DROPOUT)
+
+
+def make_optimizer(cfg: Settings):
+    return optax.adam(cfg.LEARNING_RATE)
+
+
+def make_train_state(cfg: Settings, world: WorldState,
+                     rng: jax.Array,
+                     wait_before_start: float = 20.0,
+                     init_params=None) -> DQNTrainState:
+    net = _net(cfg)
+    rng, k = jax.random.split(rng)
+    params = init_params if init_params is not None \
+        else net.init(k, jnp.zeros((1, cfg.obs_dim)))
+    opt_state = make_optimizer(cfg).init(params)
+    replay = rb.init_replay(cfg.REPLAY_BUFFER_SIZE, cfg.obs_dim,
+                            discrete=True)
+    env = env_reset(world, cfg, wait_before_start=wait_before_start)
+    return DQNTrainState(params=params, target_params=params,
+                         opt_state=opt_state, replay=replay, env=env,
+                         rng=rng,
+                         episodes=jnp.zeros((), jnp.int32),
+                         loss_sum=jnp.zeros(()))
+
+
+def epsilon_by_episode(episodes, cfg: Settings):
+    """Staircase exponential decay (reference dqn.py:275-276)."""
+    return cfg.EPS_END + (cfg.EPS_START - cfg.EPS_END) * jnp.exp(
+        -cfg.EPS_DECAY_COEFFICIENT
+        * jnp.floor(episodes / cfg.EPS_DECAY_RATE))
+
+
+def _targets(params, target_params, batch, cfg: Settings):
+    """Double-DQN targets with clipping (reference dqn.py:673-705)."""
+    net = _net(cfg)
+    q_next_online = net.apply(params, batch["next_obs"])
+    q_next_target = net.apply(target_params, batch["next_obs"])
+    if cfg.DOUBLE_DQN:
+        best = jnp.argmax(q_next_online, axis=-1)
+        boot = cfg.DISCOUNT_FACTOR * jnp.take_along_axis(
+            q_next_target, best[:, None], axis=-1)[:, 0]
+    else:
+        boot = cfg.DISCOUNT_FACTOR * jnp.max(q_next_target, axis=-1)
+    if cfg.CLIP_TARGETS:
+        boot = jnp.clip(boot, cfg.CLIP_MIN_REWARD, cfg.CLIP_MAX_REWARD)
+    boot = jnp.where(batch["terminal"], 0.0, boot)
+    return batch["reward"] + boot
+
+
+def _grad_step(params, opt_state, batch, target_params, cfg: Settings,
+               axis_name: str | None = None):
+    net = _net(cfg)
+    targets = _targets(params, target_params, batch, cfg)
+
+    def loss_fn(p):
+        q = net.apply(p, batch["obs"])
+        qa = jnp.take_along_axis(q, batch["action"][:, None], axis=-1)[:, 0]
+        return jnp.mean(optax.huber_loss(qa, targets)), qa
+
+    (loss, qa), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+    updates, opt_state = make_optimizer(cfg).update(grads, opt_state,
+                                                    params)
+    params = optax.apply_updates(params, updates)
+    td = qa - targets
+    return params, opt_state, loss, td
+
+
+def _train_round_impl(state: DQNTrainState, cfg: Settings,
+                      env_ticks: int = 64, grad_steps: int = 16,
+                      wait_before_start: float = 20.0,
+                      axis_name: str | None = None) -> DQNTrainState:
+    """One jitted round: collect env_ticks of batched experience with the
+    epsilon-greedy policy, then grad_steps prioritized updates."""
+    net = _net(cfg)
+    eps = epsilon_by_episode(state.episodes, cfg)
+    init_pri = jnp.asarray(cfg.PER_MAX_PRIORITY ** cfg.PER_ALPHA
+                           if cfg.USE_PRIORITIZED_ER else 1.0)
+
+    def collect(carry, _):
+        env, replay, rng, episodes = carry
+        rng, k_eps, k_act = jax.random.split(rng, 3)
+        q = net.apply(state.params, env.obs)
+        greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        b = greedy.shape[0]
+        random_a = jax.random.randint(k_act, (b,), 0,
+                                      len(cfg.JERK_VALUES_DQN))
+        explore = jax.random.uniform(k_eps, (b,)) < eps
+        action = jnp.where(explore, random_a, greedy)
+        env, tr = env_step(env, action, cfg, EnvKind.JERK,
+                           max_episode_length=cfg.TRAINING_EPISODE_LENGTH,
+                           wait_before_start=wait_before_start)
+        replay = rb.add_batch(replay, tr["obs"], tr["next_obs"],
+                              tr["action"], tr["reward"], tr["terminal"],
+                              tr["valid"], init_pri)
+        episodes = episodes + jnp.sum(tr["done"]).astype(jnp.int32)
+        return (env, replay, rng, episodes), None
+
+    (env, replay, rng, episodes), _ = jax.lax.scan(
+        collect, (state.env, state.replay, state.rng, state.episodes),
+        None, length=env_ticks)
+
+    def learn(carry, _):
+        params, opt_state, replay, rng, loss_sum = carry
+        rng, k = jax.random.split(rng)
+        idx, batch = rb.sample(replay, k, cfg.BATCH_SIZE)
+        params, opt_state, loss, td = _grad_step(
+            params, opt_state, batch, state.target_params, cfg,
+            axis_name=axis_name)
+        if cfg.USE_PRIORITIZED_ER:
+            replay = rb.update_priorities(replay, idx, td, cfg)
+        return (params, opt_state, replay, rng, loss_sum + loss), None
+
+    # don't train until the buffer has data
+    can_train = replay.size >= cfg.BATCH_SIZE
+
+    def do_learn(args):
+        params, opt_state, replay, rng = args
+        (params, opt_state, replay, rng, loss_sum), _ = jax.lax.scan(
+            learn, (params, opt_state, replay, rng, jnp.zeros(())),
+            None, length=grad_steps)
+        return params, opt_state, replay, rng, loss_sum
+
+    def skip(args):
+        params, opt_state, replay, rng = args
+        return params, opt_state, replay, rng, jnp.zeros(())
+
+    params, opt_state, replay, rng, loss_sum = jax.lax.cond(
+        can_train, do_learn, skip,
+        (state.params, state.opt_state, replay, rng))
+
+    return state._replace(params=params, opt_state=opt_state,
+                          replay=replay, env=env, rng=rng,
+                          episodes=episodes, loss_sum=loss_sum)
+
+
+train_round = jax.jit(_train_round_impl,
+                      static_argnames=("cfg", "env_ticks", "grad_steps",
+                                       "wait_before_start", "axis_name"))
+
+
+def make_sharded_train(cfg: Settings, mesh, rng: jax.Array,
+                       env_ticks: int = 64, grad_steps: int = 16,
+                       wait_before_start: float = 20.0):
+    """Data-parallel DQN training over the scenario mesh (see
+    agents.ddpg.make_sharded_train for the scheme): per-device env+replay
+    shards, pmean-reduced gradients, identical parameter copies."""
+    from .. import tasks
+    from ..parallel import sharded
+    from ..parallel.mesh import SCENARIO_AXIS
+
+    n = mesh.devices.size
+    keys = jax.random.split(rng, n)
+    locals_ = []
+    for i in range(n):
+        world = tasks.make_worlds(cfg.replace(SEED=int(cfg.SEED) + i
+                                              if cfg.SEED != "Random"
+                                              else cfg.SEED))
+        locals_.append(make_train_state(
+            cfg, world, keys[i], wait_before_start=wait_before_start,
+            init_params=None if not locals_ else locals_[0].params))
+    gstate = sharded.shard_train_state(sharded.stack_states(locals_), mesh)
+
+    body = functools.partial(
+        _train_round_impl, cfg=cfg, env_ticks=env_ticks,
+        grad_steps=grad_steps, wait_before_start=wait_before_start,
+        axis_name=SCENARIO_AXIS)
+    round_fn = sharded.sharded_train_round(body, mesh)
+    return gstate, round_fn
+
+
+def refresh_target(state: DQNTrainState) -> DQNTrainState:
+    """Hard target copy (reference dqn.py:278-280)."""
+    return state._replace(target_params=state.params)
+
+
+def train(cfg: Settings, num_episodes: int | None = None,
+          verbose: bool = True, env_ticks: int = 200):
+    """Task-level driver mirroring the reference's custom trainer loop
+    (dqn.py:257-359 ``DQNAgent._train``): train for NUM_TRAINING_EPISODES
+    with the staircase epsilon schedule, refresh the target net every
+    TARGET_NET_FREEZE_PERIOD episodes (dqn.py:278-280), run a greedy eval
+    + checkpoint every EVALUATION_PERIOD episodes (dqn.py:282-285), and
+    log loss/epsilon scalars (dqn.py:308-309)."""
+    from .. import tasks
+    from ..checkpoint import save_params
+    from ..rundir import setup_run_dir
+
+    run = setup_run_dir(cfg)
+    num_episodes = num_episodes or cfg.NUM_TRAINING_EPISODES
+    worlds = tasks.make_worlds(cfg)
+    state = make_train_state(cfg, worlds, tasks.seed_key(cfg))
+    grad_per_round = max(1, cfg.TRAINING_STEPS_PER_EPISODE)
+    last_target = 0
+    last_eval = 0
+    r = 0
+    while int(state.episodes) < num_episodes:
+        state = train_round(state, cfg, env_ticks=env_ticks,
+                            grad_steps=grad_per_round * 4)
+        r += 1
+        eps_done = int(state.episodes)
+        if eps_done - last_target >= cfg.TARGET_NET_FREEZE_PERIOD:
+            state = refresh_target(state)
+            last_target = eps_done
+        if eps_done - last_eval >= cfg.EVALUATION_PERIOD:
+            last_eval = eps_done
+            eval_cfg = cfg.replace(TICK_LENGTH=cfg.EVALUATION_TICK_LENGTH)
+            controller = jax.jit(greedy_controller(state.params, eval_cfg))
+            agg = tasks.evaluate_controller(
+                eval_cfg, controller,
+                num_episodes=cfg.NUM_EVALUATION_EPISODES,
+                max_episode_length=cfg.EVALUATION_EPISODE_LENGTH,
+                verbose=False)
+            avg = agg.get_stat_averages()
+            if verbose:
+                print(f"  [eval @ {eps_done} eps] "
+                      f"crash={avg['crashed']:.4f} "
+                      f"merge={avg['merged']:.4f} "
+                      f"jerk={avg['mean_abs_jerk']:.3f}", flush=True)
+            run.log_scalars(eps_done, {"eval_crash": avg["crashed"],
+                                       "eval_merge": avg["merged"],
+                                       "eval_jerk": avg["mean_abs_jerk"]})
+            save_params(run.path, {"q": state.params})     # checkpoint
+        if verbose and r % 10 == 0:
+            state = jax.block_until_ready(state)
+            eps = float(epsilon_by_episode(state.episodes, cfg))
+            loss = float(state.loss_sum)
+            print(f"  round {r} episodes={eps_done} eps={eps:.3f} "
+                  f"loss={loss:.4f}", flush=True)
+            run.log_scalars(eps_done, {"epsilon": eps, "loss": loss})
+    save_params(run.path, {"q": state.params})
+    return state
+
+
+def greedy_controller(params, cfg: Settings):
+    """HighwayState batch -> speed commands via argmax-Q jerk actuation
+    (reference dqn.py:661-670 ``do_dqn_control`` at epsilon=0)."""
+    net = _net(cfg)
+    table = jnp.asarray(cfg.JERK_VALUES_DQN)
+
+    def control(states):
+        obs = jax.vmap(lambda s: state_vector(s, cfg))(states)
+        q = net.apply(params, obs)
+        jerk = table[jnp.argmax(q, axis=-1)]
+        # set_ego_jerk integration (control.py:160-179)
+        a = jnp.clip(states.ego_accel + jerk * cfg.TICK_LENGTH,
+                     cfg.MAX_NEGATIVE_ACCELERATION,
+                     cfg.MAX_POSITIVE_ACCELERATION)
+        return jnp.clip(states.ego_speed + a * cfg.TICK_LENGTH,
+                        0.0, cfg.MAX_SPEED)
+
+    return control

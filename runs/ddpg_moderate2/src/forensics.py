@@ -1,0 +1,133 @@
+"""Crash forensics: capture, dump, and offline replay of crashing episodes.
+
+Re-design of the reference's only debugging harness for the 0-crash claim:
+crashing episodes pickle their full state history (reference
+stats.py:75-77), and ``replay_crash`` re-solves the planner from every
+saved state and renders the s-t obstacle/path plots (reference
+st.py:827-859 ``replay_crash``/``plot_crash``).
+
+Here the history is recorded on-device as a (B, T, ...) ``HighwayState``
+pytree (sim.episode.run_episode_batch(record_history=True)); crashing
+scenarios are sliced out host-side and written as one pickle per crash.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from .config import Settings
+from .prediction import HighwayState
+
+__all__ = ["extract_crash_histories", "dump_crashes", "load_crash",
+           "replay_crash", "plot_crash"]
+
+logger = logging.getLogger(__name__)
+
+
+def extract_crash_histories(stats, history: HighwayState
+                            ) -> List[List[HighwayState]]:
+    """Slice the crashing scenarios' state sequences out of a batched
+    history pytree.  Returns a list (one per crash) of per-tick
+    HighwayStates (numpy leaves), trimmed to the episode's tick count."""
+    crashed = np.asarray(stats.crashed)
+    ticks = np.asarray(stats.ticks)
+    hist_np = [np.asarray(x) for x in history]
+    out = []
+    for b in np.nonzero(crashed)[0]:
+        n = int(ticks[b])
+        states = [HighwayState(*(leaf[b, t] for leaf in hist_np))
+                  for t in range(n)]
+        out.append(states)
+    return out
+
+
+def dump_crashes(stats, history, run_dir: str = ".") -> List[str]:
+    """Pickle each crashing episode's state history (reference
+    stats.py:75-77 ``crashed_state_history.pkl``; one file per crash here
+    since a batch can contain several)."""
+    paths = []
+    for i, states in enumerate(extract_crash_histories(stats, history)):
+        path = os.path.join(run_dir, f"crashed_state_history_{i}.pkl")
+        with open(path, "wb") as fh:
+            pickle.dump(states, fh)
+        logger.warning("Crash captured: %d states -> %s", len(states), path)
+        paths.append(path)
+    return paths
+
+
+def load_crash(path: str) -> List[HighwayState]:
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
+
+
+def plot_crash(states: List[HighwayState], cfg: Settings,
+               out_dir: Optional[str] = None, prefix: str = "crash"):
+    """Re-solve the planner from each saved state and render the s-t
+    obstacle field with the planned path (reference st.py:850-859).
+    Returns the list of written image paths (empty if matplotlib is
+    unavailable)."""
+    import jax.numpy as jnp
+
+    from .planner.mpc import plan_st
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:                     # pragma: no cover
+        logger.warning("matplotlib unavailable; skipping crash plots")
+        return []
+
+    out_dir = out_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for i, state in enumerate(states):
+        dev_state = HighwayState(*(jnp.asarray(x) for x in state))
+        plan = plan_st(dev_state, cfg, dtype=jnp.float64)
+        obstacles = np.asarray(plan.grid.obstacles)
+        s_values = np.asarray(plan.grid.s_values)
+        t_values = np.asarray(plan.grid.t_values)
+        seq = np.asarray(plan.s_sequence)
+        valid = int(plan.valid_len)
+
+        nz_t, nz_s = np.nonzero(obstacles)
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.scatter(t_values[nz_t], s_values[nz_s], s=1, c="tab:blue")
+        ax.plot(t_values[:valid], seq[:valid], c="red")
+        ax.set_xlabel("t")
+        ax.set_ylabel("s")
+        ax.set_title(f"{prefix} state {i} "
+                     f"({'complete' if valid == len(seq) else 'trimmed'})")
+        path = os.path.join(out_dir, f"{prefix}_{i:03d}.png")
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+        written.append(path)
+    return written
+
+
+def replay_crash(path: str, cfg: Settings, out_dir: Optional[str] = None):
+    """Offline repro harness (reference st.py:827-847): load a crash dump,
+    re-solve every state, report which states the solver already declared
+    doomed, and render the plots."""
+    states = load_crash(path)
+    import jax.numpy as jnp
+
+    from .planner.mpc import plan_st
+
+    doomed = []
+    for i, state in enumerate(states):
+        dev_state = HighwayState(*(jnp.asarray(x) for x in state))
+        plan = plan_st(dev_state, cfg, dtype=jnp.float64)
+        incomplete = int(plan.valid_len) < plan.s_sequence.shape[0]
+        doomed.append(incomplete)
+        if incomplete:
+            logger.warning("state %d/%d: solver finds crash inevitable",
+                           i, len(states))
+    plots = plot_crash(states, cfg,
+                       out_dir=out_dir or os.path.dirname(path) or ".")
+    return doomed, plots

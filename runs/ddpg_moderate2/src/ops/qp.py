@@ -1,0 +1,215 @@
+"""Batched trajectory-smoothing QP via ADMM.
+
+TPU-native replacement for the reference's cvxopt interior-point call in the
+``finer_fit`` smoother (reference: st.py:584-723, solved at st.py:722 with
+``maxiters=10``).  The problem per scenario is tiny and identical in
+structure:
+
+    min ||x - b||^2   s.t.   lo <= A x <= hi
+
+where ``x`` is the fine-grid s trajectory (length n = cfg.fine_horizon), ``b``
+the linear interpolation of the coarse DP path, and ``A`` stacks the
+first/second/third finite-difference operators (velocity / acceleration /
+jerk rows, reference st.py:608-719) plus the start-point equality pin
+(st.py:707-711, expressed as a degenerate box row).  Only the *bounds*
+depend on runtime data (start speed/acceleration enter the first rows,
+st.py:628+638+648-666); the operator is static, so its ADMM normal-matrix
+factor ``(2I + rho A^T A)^{-1}`` is precomputed on the host once per config
+and the whole batched solve is two small MXU matmuls per iteration.
+
+Row scaling: the difference operators span 1/dt .. 1/dt^3 in magnitude, so
+rows are normalized to unit norm (bounds scaled accordingly) before ADMM —
+the standard OSQP-style preconditioning — which makes a single rho work
+across all rows.
+
+A fixed iteration count (cfg.QP_ITERATIONS) mirrors the reference's fixed
+``maxiters``; for this strongly convex QP ~100 scaled-ADMM iterations
+reproduce the interior-point solution of the *executed first step* far below
+the 1e-3 acceptance bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["QPOperator", "build_operator", "finer_fit_qp"]
+
+_BIG = 1e8
+
+
+class QPOperator(NamedTuple):
+    """Static, host-precomputed pieces of the smoothing QP."""
+
+    a: np.ndarray          # (m, n) row-scaled constraint operator
+    solve: np.ndarray      # (n, n) = (2I + rho * A^T A)^{-1}
+    row_scale: np.ndarray  # (m,) applied to bounds
+    rho: float
+    n: int
+    delta_t: float
+    coarse_delta_t: float
+
+
+@functools.lru_cache(maxsize=16)
+def build_operator(n: int, delta_t: float, rho: float = 20.0) -> QPOperator:
+    """Assemble the constraint operator for an n-point fine grid.
+
+    Row layout (all interior rows mirror reference st.py:608-668):
+      [0, n-1):        velocity rows  (x[i+1]-x[i])/dt
+      [n-1, 2n-2):     acceleration rows; row 0 is the boundary form
+      [2n-2, 3n-3):    jerk rows; rows 0 and 1 are the boundary forms
+      [3n-3]:          start equality e_0
+    """
+    dt = float(delta_t)
+    dt2, dt3 = dt * dt, dt * dt * dt
+    rows = []
+    for i in range(n - 1):          # velocity
+        r = np.zeros(n)
+        r[i], r[i + 1] = -1.0 / dt, 1.0 / dt
+        rows.append(r)
+    for i in range(n - 1):          # acceleration
+        r = np.zeros(n)
+        if i == 0:
+            r[0], r[1] = -1.0 / dt2, 1.0 / dt2
+        else:
+            r[i - 1], r[i], r[i + 1] = 1.0 / dt2, -2.0 / dt2, 1.0 / dt2
+        rows.append(r)
+    for i in range(n - 1):          # jerk
+        r = np.zeros(n)
+        if i == 0:
+            r[0], r[1] = -1.0 / dt3, 1.0 / dt3
+        elif i == 1:
+            r[0], r[1], r[2] = 2.0 / dt3, -3.0 / dt3, 1.0 / dt3
+        else:
+            r[i - 2], r[i - 1] = -1.0 / dt3, 3.0 / dt3
+            r[i], r[i + 1] = -3.0 / dt3, 1.0 / dt3
+        rows.append(r)
+    r = np.zeros(n)
+    r[0] = 1.0                      # start pin
+    rows.append(r)
+    # position rows (identity): corridor constraints against the lead /
+    # trail cars (reference st.py:672-705 C_7 rows); bounds default to
+    # +-inf so the rows are inert unless a corridor is supplied
+    for i in range(n):
+        r = np.zeros(n)
+        r[i] = 1.0
+        rows.append(r)
+    a_raw = np.stack(rows)
+
+    row_scale = 1.0 / np.linalg.norm(a_raw, axis=1)
+    a = a_raw * row_scale[:, None]
+    solve = np.linalg.inv(2.0 * np.eye(n) + rho * (a.T @ a))
+    return QPOperator(a=a, solve=solve, row_scale=row_scale, rho=rho, n=n,
+                      delta_t=dt, coarse_delta_t=0.0)
+
+
+def _interp_coarse(coarse_seq, valid_len, n, delta_t, coarse_delta_t):
+    """Linear interpolation of the (possibly trimmed) coarse path onto the
+    fine grid, clamped at the last valid coarse point (reference
+    st.py:596-598 via scipy.interp1d on the trimmed sequence)."""
+    t_fine = jnp.arange(n, dtype=coarse_seq.dtype) * delta_t
+    pos = t_fine / coarse_delta_t
+    last = (valid_len - 1).astype(coarse_seq.dtype)
+    pos = jnp.minimum(pos, last)
+    i0 = jnp.clip(pos.astype(jnp.int32),
+                  0, jnp.maximum(valid_len - 2, 0))
+    w = pos - i0.astype(coarse_seq.dtype)
+    return coarse_seq[i0] * (1.0 - w) + coarse_seq[i0 + 1] * w
+
+
+def finer_fit_qp(coarse_seq, valid_len, start_speed, start_acceleration,
+                 op: QPOperator, coarse_delta_t: float,
+                 max_speed: float, pos_accel: float, neg_accel: float,
+                 pos_jerk: float, neg_jerk: float,
+                 iterations: int = 100, pos_lo=None, pos_hi=None):
+    """Smooth a coarse DP path onto the fine tick grid (one scenario).
+
+    Args:
+      coarse_seq: (T,) DP path, trailing zeros allowed past ``valid_len``.
+      valid_len: scalar int, number of valid coarse points (>= 2).
+      start_speed/start_acceleration: measured ego state entering the
+        boundary-row bounds (reference st.py:628, 638, 648, 653, 664, 666).
+      op: static operator from :func:`build_operator`.
+      iterations: fixed ADMM iteration count.
+
+    Returns (n,) smoothed trajectory.  vmap over scenarios for batching.
+    """
+    n = op.n
+    dtype = coarse_seq.dtype
+    dt = op.delta_t
+    dt2, dt3 = dt * dt, dt * dt * dt
+
+    b = _interp_coarse(coarse_seq, valid_len, n, dt, coarse_delta_t)
+
+    nm1 = n - 1
+    idx = jnp.arange(nm1, dtype=dtype)
+    # velocity bounds
+    v_lo = jnp.zeros(nm1, dtype)
+    v_hi = jnp.full(nm1, max_speed, dtype)
+    # acceleration bounds; boundary row shifted by v0/dt
+    a_lo = jnp.full(nm1, neg_accel, dtype).at[0].add(start_speed / dt)
+    a_hi = jnp.full(nm1, pos_accel, dtype).at[0].add(start_speed / dt)
+    # jerk bounds; rows 0/1 shifted by a0/dt + v0/dt^2 and -v0/dt^2
+    j_lo = jnp.full(nm1, neg_jerk, dtype)
+    j_hi = jnp.full(nm1, pos_jerk, dtype)
+    shift0 = start_acceleration / dt + start_speed / dt2
+    j_lo = j_lo.at[0].add(shift0).at[1].add(-start_speed / dt2)
+    j_hi = j_hi.at[0].add(shift0).at[1].add(-start_speed / dt2)
+
+    # deactivate rows whose stencil reaches past the valid fine horizon;
+    # fine length mirrors reference st.py:590-594 (np.round half-to-even,
+    # then trimmed back if it overshoots the coarse horizon)
+    t_last = (valid_len - 1).astype(dtype) * coarse_delta_t
+    fine_len = jnp.round(t_last / dt + 1.0).astype(jnp.int32)
+    fine_len = fine_len - ((fine_len - 1).astype(dtype) * dt
+                           > t_last).astype(jnp.int32)
+    live = idx + 1 <= (fine_len - 1).astype(dtype)
+    v_lo = jnp.where(live, v_lo, -_BIG)
+    v_hi = jnp.where(live, v_hi, _BIG)
+    a_lo = jnp.where(live, a_lo, -_BIG)
+    a_hi = jnp.where(live, a_hi, _BIG)
+    j_lo = jnp.where(live, j_lo, -_BIG)
+    j_hi = jnp.where(live, j_hi, _BIG)
+
+    s0 = coarse_seq[0]
+    # corridor rows: per-step position box (reference st.py:672-705); the
+    # start point is pinned anyway, so relax its corridor row
+    p_lo = jnp.full(n, -_BIG, dtype) if pos_lo is None \
+        else jnp.asarray(pos_lo, dtype)
+    p_hi = jnp.full(n, _BIG, dtype) if pos_hi is None \
+        else jnp.asarray(pos_hi, dtype)
+    p_lo = p_lo.at[0].set(-_BIG)
+    p_hi = p_hi.at[0].set(_BIG)
+    live_pos = jnp.arange(n) <= fine_len - 1
+    p_lo = jnp.where(live_pos, p_lo, -_BIG)
+    p_hi = jnp.where(live_pos, p_hi, _BIG)
+    lo = jnp.concatenate([v_lo, a_lo, j_lo, s0[None], p_lo])
+    hi = jnp.concatenate([v_hi, a_hi, j_hi, s0[None], p_hi])
+
+    scale = jnp.asarray(op.row_scale, dtype)
+    lo = lo * scale
+    hi = hi * scale
+    a_mat = jnp.asarray(op.a, dtype)
+    solve = jnp.asarray(op.solve, dtype)
+    rho = jnp.asarray(op.rho, dtype)
+
+    alpha = jnp.asarray(1.6, dtype)  # over-relaxation
+
+    def body(carry, _):
+        x, z, u = carry
+        rhs = 2.0 * b + rho * ((z - u) @ a_mat)
+        x = rhs @ solve.T
+        ax = alpha * (x @ a_mat.T) + (1.0 - alpha) * z
+        z = jnp.clip(ax + u, lo, hi)
+        u = u + ax - z
+        return (x, z, u), None
+
+    x0 = b
+    z0 = jnp.clip(x0 @ a_mat.T, lo, hi)
+    u0 = jnp.zeros_like(z0)
+    (x, _, _), _ = jax.lax.scan(body, (x0, z0, u0), None, length=iterations)
+    return x, fine_len
