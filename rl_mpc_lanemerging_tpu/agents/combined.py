@@ -22,6 +22,14 @@ solve from the current state between the strictly-better comparison and the
 executed takeover command, plus one solve from the rollout test state — all
 four gates evaluate branchlessly across the batch and the final command is
 a ``jnp.where`` select.
+
+Both solves route through ``mpc.batched_st_control`` /
+``mpc.batched_test_guaranteed_crash``, which use the Pallas wavefront
+kernel on accelerators (the same production path as the ST-only
+evaluation) and the portable dense DP on CPU.  The dense DP materializes
+(max_offset x S) candidate tensors per layer per scenario — multi-GB of
+live intermediates at production batch sizes, which faulted the TPU in
+round 2's combined runs — so it is never selected on device backends.
 """
 
 from __future__ import annotations
@@ -116,7 +124,8 @@ def _rl_rollout(policy, states: HighwayState, first_jerk, cfg: Settings):
 
 
 def combined_controller(policy: Callable[[HighwayState], jax.Array],
-                        cfg: Settings, dtype=jnp.float32):
+                        cfg: Settings, dtype=jnp.float32,
+                        use_pallas: bool | None = None):
     """Build (controller, init_carry, batch_stats_fn).
 
     ``controller``: batched HighwayState -> (speed commands, takeover flag)
@@ -127,8 +136,14 @@ def combined_controller(policy: Callable[[HighwayState], jax.Array],
     ``controller(states, carry)``; ``init_carry(batch)`` builds the initial
     carry, or is None for the stateless form.
     ``batch_stats_fn``: EpisodeStats -> custom stat dict for aggregation.
+
+    ``use_pallas`` selects the ST solver backend for the 2 solves per tick;
+    None picks the Pallas kernel on accelerators and the portable dense DP
+    on CPU (same policy as ``mpc.make_batched_controller``).
     """
     remember = cfg.REMEMBER_LAST_CHOICE_FOR_SWITCHING_COMBINED
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
 
     def _control(states: HighwayState, last_take):
         first_jerk = policy(states)
@@ -139,8 +154,8 @@ def combined_controller(policy: Callable[[HighwayState], jax.Array],
             _rl_rollout(policy, states, first_jerk, cfg)
 
         # --- ST solve shared by gate d and the takeover command ---
-        st_speed, plan, fine, fine_len = jax.vmap(
-            lambda s: mpc.st_control_speed(s, cfg, dtype))(states)
+        st_speed, _seq, _valid, fine, fine_len, _grids = \
+            mpc.batched_st_control(states, cfg, dtype, use_pallas)
 
         # --- gates ---
         take = jnp.zeros_like(crash_pred)
@@ -149,9 +164,8 @@ def combined_controller(policy: Callable[[HighwayState], jax.Array],
         if cfg.LIMIT_DQN_SPEED:
             take = take | (sel_speed > cfg.DESIRED_SPEED)
         if cfg.TEST_ROLLOUT_STATE:
-            condemned = jax.vmap(
-                lambda s: mpc.test_guaranteed_crash(s, cfg, dtype))(
-                test_state)
+            condemned = mpc.batched_test_guaranteed_crash(
+                test_state, cfg, dtype, use_pallas)
             take = take | condemned
 
         rl_speed = _speed_from_jerk(v, a, first_jerk.astype(dtype), cfg)

@@ -26,7 +26,9 @@ from ..prediction import HighwayState
 from .grid import STGrid, build_st_grid
 
 __all__ = ["weights_from_settings", "PlanResult", "plan_st",
-           "st_control_speed", "test_guaranteed_crash", "batched_controller"]
+           "st_control_speed", "test_guaranteed_crash", "batched_controller",
+           "batched_plan", "batched_st_control",
+           "batched_test_guaranteed_crash"]
 
 
 def weights_from_settings(cfg: Settings) -> st_dp.STWeights:
@@ -230,19 +232,69 @@ def _pallas_solver(cfg: Settings):
                               w, max_off, cfg.num_t, cfg.num_s)
 
 
-def batched_controller_pallas(states: HighwayState, cfg: Settings):
-    """TPU production controller: jnp grid build + Pallas wavefront DP +
-    batched QP.  Batch must be a multiple of ops.st_pallas.LANE_TILE."""
-    dtype = jnp.float32
+def _pad_batch(x, pad: int):
+    """Edge-replicate the leading (scenario) axis by ``pad`` rows so the
+    Pallas lane tiling divides the batch; padded lanes are discarded."""
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, mode="edge")
+
+
+def batched_plan(states: HighwayState, cfg: Settings, dtype=jnp.float32,
+                 use_pallas: bool = False):
+    """Whole-batch grid build + DP solve + trailing-zero trim.
+
+    The batch-level twin of :func:`plan_st` (reference st.py:726-768) and
+    the single solver entry the production controllers and the combined
+    arbiter share.  With ``use_pallas`` the solve runs through the Pallas
+    wavefront kernel (VMEM-resident, the TPU production path); otherwise
+    through the portable dense DP, which materializes (max_offset, S)
+    candidate tensors per layer and is only suitable for CPU/tests.
+
+    Returns (seq (B, T), valid_len (B,) int32, grids: batched STGrid).
+    """
     grids = jax.vmap(lambda s: build_st_grid(s, cfg, dtype))(states)
-    seq = _pallas_solver(cfg)(
-        grids.obstacles, grids.s_values, grids.ego_speed,
-        states.ego_accel.astype(dtype), grids.distances)
+    ego_accel = states.ego_accel.astype(dtype)
+    if use_pallas:
+        from ..ops.st_pallas import LANE_TILE
+        b = grids.obstacles.shape[0]
+        pad = (-b) % LANE_TILE
+        seq = _pallas_solver(cfg)(
+            _pad_batch(grids.obstacles, pad), _pad_batch(grids.s_values, pad),
+            _pad_batch(grids.ego_speed, pad), _pad_batch(ego_accel, pad),
+            _pad_batch(grids.distances, pad))[:b]
+    else:
+        w = weights_from_settings(cfg)
+        max_off = st_dp.default_max_offset(
+            cfg.MAX_SPEED, cfg.T_DISCRETIZATION, cfg.S_DISCRETIZATION)
+        if cfg.USE_FAST_ST_SOLVER:
+            seq = jax.vmap(
+                lambda g, a: st_dp.solve_st_fast(
+                    g.obstacles, g.s_values, g.t_values, g.ego_speed, a,
+                    g.distances, w, max_off))(grids, ego_accel)
+        else:
+            seq = jax.vmap(
+                lambda g: st_dp.solve_st_no_jerk_fast(
+                    g.obstacles, g.s_values, g.t_values, g.ego_speed,
+                    g.distances, w, max_off))(grids)
     num_t = seq.shape[1]
     trailing = jnp.argmax(jnp.flip(seq, axis=1) != 0.0, axis=1)
     all_zero = jnp.all(seq == 0.0, axis=1)
     valid = jnp.where(all_zero, 1, num_t - trailing).astype(jnp.int32)
+    return seq, valid, grids
 
+
+def batched_st_control(states: HighwayState, cfg: Settings,
+                       dtype=jnp.float32, use_pallas: bool = False):
+    """Whole-batch ``do_st_control`` (st.py:757-783): DP plan + QP refine +
+    first-step speed command.  Returns
+    (speed (B,), seq (B, T), valid (B,), fine (B, n), fine_len (B,), grids)
+    so callers (the combined arbiter's strictly-better gate, metrics) can
+    reuse the intermediates without re-solving."""
+    seq, valid, grids = batched_plan(states, cfg, dtype, use_pallas)
+    v0 = states.ego_speed.astype(dtype)
+    a0 = states.ego_accel.astype(dtype)
     if cfg.TICK_LENGTH < cfg.T_DISCRETIZATION:
         op = qp.build_operator(cfg.fine_horizon, cfg.TICK_LENGTH)
         fine, fine_len = jax.vmap(
@@ -251,17 +303,41 @@ def batched_controller_pallas(states: HighwayState, cfg: Settings):
                 cfg.MAX_POSITIVE_ACCELERATION,
                 cfg.MAX_NEGATIVE_ACCELERATION,
                 cfg.MAXIMUM_POSITIVE_JERK, cfg.MINIMUM_NEGATIVE_JERK,
-                iterations=cfg.QP_ITERATIONS))(
-            seq, valid, states.ego_speed.astype(dtype),
-            states.ego_accel.astype(dtype))
+                iterations=cfg.QP_ITERATIONS))(seq, valid, v0, a0)
         step_dt = cfg.TICK_LENGTH
     else:
         fine, fine_len = seq, valid
         step_dt = cfg.T_DISCRETIZATION
-
     speed = (fine[:, 1] - fine[:, 0]) / step_dt
-    speed = jnp.where(fine_len <= 1, states.ego_speed.astype(dtype), speed)
-    return speed
+    speed = jnp.where(fine_len <= 1, v0, speed)
+    return speed, seq, valid, fine, fine_len, grids
+
+
+def batched_test_guaranteed_crash(states: HighwayState, cfg: Settings,
+                                  dtype=jnp.float32,
+                                  use_pallas: bool = False):
+    """Whole-batch safety certificate (st.py:790-802) — the batch-level
+    twin of :func:`test_guaranteed_crash`, sharing :func:`batched_plan` so
+    the combined arbiter's gate c runs through the Pallas kernel on TPU."""
+    seq, valid, grids = batched_plan(states, cfg, dtype, use_pallas)
+    num_t = seq.shape[1]
+    incomplete = valid < num_t
+    delta_s = grids.s_values[:, 1] - grids.s_values[:, 0]
+    idx = ((seq - grids.s_values[:, :1]) / delta_s[:, None]).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, grids.s_values.shape[1] - 1)
+    d = jnp.take_along_axis(grids.distances, idx[:, :, None], axis=2)[..., 0]
+    threshold = cfg.COMBINATION_MIN_DISTANCE - cfg.CAR_LENGTH
+    t_iota = jnp.arange(num_t)
+    too_close = jnp.any((t_iota[None, :] < valid[:, None]) & (d < threshold),
+                        axis=1)
+    return incomplete | too_close
+
+
+def batched_controller_pallas(states: HighwayState, cfg: Settings):
+    """TPU production controller: jnp grid build + Pallas wavefront DP +
+    batched QP.  Batches that are not a multiple of ops.st_pallas.LANE_TILE
+    are edge-padded for the kernel."""
+    return batched_st_control(states, cfg, use_pallas=True)[0]
 
 
 def make_batched_controller(cfg: Settings, force_reference: bool = False):
