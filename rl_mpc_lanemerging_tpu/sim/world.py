@@ -44,6 +44,7 @@ __all__ = ["WorldState", "init_world", "world_step", "sense", "add_ego",
            "alternate_flow_probability"]
 
 _INACTIVE_X = -1e9
+CAR_WIDTH = 1.8   # SUMO default vehicle width; no vType overrides it
 
 # ---------------------------------------------------------------------------
 # Alternate traffic distribution: the 6-personality IDM vType mix of
@@ -230,11 +231,24 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
     arrived_now = world.ego_active & (new_ego_arc >= geometry.EGO_ARRIVAL_ARC)
 
     # --- collision (post-move positions, SUMO checks after the step) ---
+    # SUMO's junction collision check intersects vehicle *shapes*
+    # (collision.check-junctions, ramp.sumocfg): two 1.8 m-wide vehicles
+    # (the default width; neither vType overrides it) touch only when
+    # their lateral centers are within 1.8 m.  The merging ego converges
+    # from the ramp onto the highway lane (y = -1.5) and reaches lateral
+    # overlap only past s ~ 24 — pure x-overlap while still laterally
+    # offset on the ramp (s in 11..23) is NOT a SUMO collision, and
+    # counting it produced phantom "side-swipe" crashes the planner could
+    # never see (cars below CRASH_MIN_S - MIN_ALLOWED_DISTANCE don't
+    # obstruct the grid, st.py:46-47).  The s > 11 gate mirrors the
+    # forecaster's own ego_crash_threshold (prediction.py:12).
     new_ego_x, new_ego_y = geometry.route_xy(new_ego_arc)
     new_ego_s = geometry.get_ego_s(new_ego_x, new_ego_y)
+    lateral_overlap = jnp.abs(new_ego_y - geometry.HIGHWAY_Y) < CAR_WIDTH
     overlap = new_active & (jnp.abs(new_cars_x - new_ego_x) < cfg.CAR_LENGTH)
     collided_now = world.ego_active & ~arrived_now \
-        & (new_ego_s > EGO_CRASH_THRESHOLD) & jnp.any(overlap)
+        & (new_ego_s > EGO_CRASH_THRESHOLD) & lateral_overlap \
+        & jnp.any(overlap)
 
     # --- spawner ---
     rng, k_vary, k_type, k_sf, k_dep = jax.random.split(world.rng, 5)

@@ -86,3 +86,39 @@ def test_sense_orders_cars_front_to_back():
     for b in range(2):
         vals = xs[b][present[b]]
         assert np.all(np.diff(vals) <= 0)  # descending
+
+
+def test_collision_requires_lateral_overlap():
+    """SUMO intersects vehicle *shapes*: an ego still laterally offset on
+    the ramp (s ~ 12, y ~ 1.0, lateral gap > 1.8 m to the highway lane)
+    passing a slower car is NOT a collision; actual x-overlap once merged
+    (lateral centers within the 1.8 m default width) IS."""
+    from rl_mpc_lanemerging_tpu.sim.world import world_step
+
+    w = make_worlds(1)
+    w0 = jax.tree.map(lambda x: x[0], w)
+
+    def place(arc, car_x, ego_v=12.0, car_v=7.0):
+        ww = w0._replace(
+            ego_active=jnp.asarray(True),
+            ego_arc=jnp.asarray(arc, DTYPE),
+            ego_v=jnp.asarray(ego_v, DTYPE),
+            ego_prev_v=jnp.asarray(ego_v, DTYPE),
+            cars_x=w0.cars_x.at[0].set(car_x),
+            cars_v=w0.cars_v.at[0].set(car_v),
+            cars_active=w0.cars_active.at[0].set(True))
+        return world_step(ww, jnp.asarray(ego_v, DTYPE), CFG)
+
+    # ego at s ~ 12 (still on the ramp, y ~ 1.0): same x as a car -> no crash
+    ego_x, ego_y = map(float, geometry.route_xy(jnp.asarray(213.6, DTYPE)))
+    s = float(geometry.get_ego_s(jnp.asarray(ego_x), jnp.asarray(ego_y)))
+    assert 11.5 < s < 14.0 and abs(ego_y - geometry.HIGHWAY_Y) > 1.8
+    w_after = place(213.6, ego_x)
+    assert not bool(w_after.ego_collided)
+
+    # ego at s ~ 40 (y within 1.8 of the lane): same x -> crash
+    ego_x2, ego_y2 = map(float, geometry.route_xy(jnp.asarray(242.0, DTYPE)))
+    s2 = float(geometry.get_ego_s(jnp.asarray(ego_x2), jnp.asarray(ego_y2)))
+    assert s2 > 35.0 and abs(ego_y2 - geometry.HIGHWAY_Y) < 1.8
+    w_after2 = place(242.0, ego_x2)
+    assert bool(w_after2.ego_collided)
