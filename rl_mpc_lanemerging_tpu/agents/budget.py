@@ -1,0 +1,38 @@
+"""Frame-budget loop shared by the trainers.
+
+The reference trainers run for an exact number of environment frames
+(reference ddpg.py:47 ``train(1e6)``, rainbow.py:35); the batched trainers
+here advance in fixed-size rounds and ``frames`` counts only valid
+(ego-active) ticks, so the rounds needed per frame budget varies with
+traffic (short episodes accrue frames slowly).  Looping on the frame
+target directly, with a generous hard cap as a runaway backstop, replaces
+the old estimated round counts that silently truncated fast-traffic runs
+at a fraction of num_frames.
+"""
+
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["frame_budget_rounds"]
+
+
+def frame_budget_rounds(num_frames: float, frames_per_round_upper: int,
+                        safety: int = 20):
+    """Yield round indices until the caller breaks on its frame target.
+
+    ``frames_per_round_upper`` is the theoretical per-round maximum
+    (env_ticks * batch); the cap is ``safety`` times the rounds that many
+    frames would need, so even a ~5% valid-frame rate reaches the target.
+    If the generator exhausts (the caller never broke), it logs a warning:
+    training ended short of the budget.
+    """
+    expected = int(num_frames // max(frames_per_round_upper, 1)) + 1
+    cap = safety * expected
+    for r in range(cap):
+        yield r
+    logger.warning(
+        "frame budget not reached after the hard cap of %d rounds "
+        "(target %d frames); training ends short", cap, int(num_frames))

@@ -304,18 +304,15 @@ def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
                   updates_per_tick: int = 64,
                   eval_every_rounds: int = 0,
                   eval_episodes: int = 256) -> DDPGTrainState:
+    from .budget import frame_budget_rounds
     ticks_per_round = 200
     batch = state.env.obs.shape[0]
-    # `frames` counts only valid (ego-active) ticks, so each round yields
-    # fewer than ticks_per_round * batch frames; cap generously and break
-    # on the frame target below (the old +1 cap truncated fast-traffic
-    # runs at ~55% of num_frames — short episodes accrue frames slowly)
-    rounds = 3 * int(num_frames // (ticks_per_round * batch)) + 1
     frames0 = int(state.frames)
-    for r in range(rounds):
+    for r in frame_budget_rounds(num_frames, ticks_per_round * batch):
         state = train_round(state, cfg, lr, env_ticks=ticks_per_round,
                             updates_per_tick=updates_per_tick)
-        if r % 5 == 4 or r == rounds - 1:
+        if r % 5 == 4 \
+                or int(state.frames) - frames0 >= num_frames:
             state = jax.block_until_ready(state)
             n = max(float(state.ep_ret_n), 1.0)
             avg_ret = float(state.ep_ret_sum) / n
@@ -323,7 +320,8 @@ def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
             state = state._replace(ep_ret_sum=jnp.zeros(()),
                                    ep_ret_n=jnp.zeros(()))
             if verbose:
-                print(f"  round {r + 1}/{rounds} frames={int(state.frames)}"
+                print(f"  round {r + 1} frames={int(state.frames)}"
+                      f"/{int(num_frames)}"
                       f" episodes={int(state.episodes)}"
                       f" avg_return={avg_ret:.3f}", flush=True)
             if run is not None:

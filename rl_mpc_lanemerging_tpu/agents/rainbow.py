@@ -35,7 +35,6 @@ V_MIN, V_MAX = -10.0, 10.0
 RAINBOW_BATCH = 64
 RAINBOW_DISCOUNT = 0.99
 REPLAY_START = 2000
-TARGET_PERIOD_ROUNDS = 16     # hard target refresh cadence (rounds)
 N_STEP = 3                    # published Rainbow n-step horizon
 BETA_START = 0.4              # PER importance-sampling anneal start
 BETA_FRAMES = 2e6             # frames to reach beta = 1
@@ -308,19 +307,31 @@ def greedy_controller(params, cfg: Settings):
 # task drivers (reference rainbow.py:85-106, main.py:21-31)
 # ---------------------------------------------------------------------------
 
-def _train_frames(cfg, state, num_frames, lr, verbose=True):
+def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None):
+    """Advance training to ``num_frames`` valid env frames, refreshing the
+    target network every TARGET_NET_FREEZE_PERIOD *episodes* (reference
+    dqn.py:278-280 — the trainer this pipeline mirrors refreshes on an
+    episode cadence, not a round cadence)."""
+    from .budget import frame_budget_rounds
     ticks_per_round = 200
     batch = state.env.obs.shape[0]
-    rounds = int(num_frames // (ticks_per_round * batch)) + 1
-    for r in range(rounds):
+    frames0 = int(state.frames)
+    last_refresh_bucket = int(state.episodes) // cfg.TARGET_NET_FREEZE_PERIOD
+    for r in frame_budget_rounds(num_frames, ticks_per_round * batch):
         state = train_round(state, cfg, lr, env_ticks=ticks_per_round)
-        if r % TARGET_PERIOD_ROUNDS == 0:
+        episodes = int(state.episodes)         # syncs; frame check needs it
+        bucket = episodes // cfg.TARGET_NET_FREEZE_PERIOD
+        if bucket != last_refresh_bucket:
             state = state._replace(target_params=state.params)
-        if verbose and r % 10 == 0:
-            state = jax.block_until_ready(state)
-            print(f"  round {r}/{rounds} frames={int(state.frames)} "
-                  f"episodes={int(state.episodes)}", flush=True)
-        if int(state.frames) >= num_frames:
+            last_refresh_bucket = bucket
+        frames = int(state.frames)
+        if r % 10 == 0 or frames - frames0 >= num_frames:
+            if verbose:
+                print(f"  round {r} frames={frames}/{int(num_frames)} "
+                      f"episodes={episodes}", flush=True)
+            if run is not None:
+                run.log_scalars(frames, {"episodes": episodes, "lr": lr})
+        if frames - frames0 >= num_frames:
             break
     return jax.block_until_ready(state)
 
@@ -330,24 +341,28 @@ def train(cfg: Settings, num_frames: float = 1e6, resume: bool = False,
     """``train_rainbow_all_with_lr_drop`` (reference rainbow.py:85-106)."""
     from .. import tasks
     from ..checkpoint import load_params, save_params
+    from ..rundir import setup_run_dir
 
+    run = setup_run_dir(cfg)
     worlds = tasks.make_worlds(cfg)
     rng = tasks.seed_key(cfg)
     init = load_params(cfg.MODEL_NAME)["q_dist"] if resume else None
     state = make_train_state(cfg, worlds, rng, lr=cfg.LEARNING_RATE,
                              init_params=init)
     state = _train_frames(cfg, state, num_frames, cfg.LEARNING_RATE,
-                          verbose)
-    save_params(f"runs/{cfg.LOG_DIR}", {"q_dist": state.params})
+                          verbose, run=run)
+    save_params(run.path, {"q_dist": state.params})
 
     if not resume:
         lr2 = cfg.LEARNING_RATE / 10.0
         cfg2 = cfg.replace(LOG_DIR=cfg.LOG_DIR + "_extended")
+        run2 = setup_run_dir(cfg2, snapshot_src=False)
         state2 = make_train_state(cfg2, tasks.make_worlds(cfg2),
                                   jax.random.split(rng)[0], lr=lr2,
                                   init_params=state.params)
-        state2 = _train_frames(cfg2, state2, num_frames, lr2, verbose)
-        save_params(f"runs/{cfg2.LOG_DIR}", {"q_dist": state2.params})
+        state2 = _train_frames(cfg2, state2, num_frames, lr2, verbose,
+                               run=run2)
+        save_params(run2.path, {"q_dist": state2.params})
         state = state2
 
     evaluate(cfg, params=state.params)

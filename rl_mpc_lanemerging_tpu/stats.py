@@ -212,12 +212,50 @@ class StatsAggregator:
         return columns
 
     def add_csv_data(self, path: str = "run_data.csv") -> None:
-        """Append one row to the experiment database (stats.py:192-199)."""
-        import pandas as pd
-        if os.path.exists(path):
-            dataframe = pd.read_csv(path)
-        else:
-            dataframe = pd.DataFrame()
-        new_row = pd.DataFrame([self.get_stat_report_row_dict()])
-        combined = pd.concat([dataframe, new_row], ignore_index=True)
-        combined.to_csv(path, index=False)
+        """Append one row to the experiment database (stats.py:192-199).
+
+        Strictly append-only: existing rows are never re-parsed or
+        re-formatted (the old pandas read/concat/rewrite churned float
+        formatting of prior results on every append).  New metric columns
+        extend the header and pad existing lines with empty trailing
+        fields, byte-identical otherwise; floats are written with repr()
+        (shortest round-trip form) for a stable format.
+        """
+        import csv
+        import io
+
+        row = self.get_stat_report_row_dict()
+
+        def fmt(v):
+            if v is None:
+                return ""
+            if isinstance(v, float):
+                return repr(v)
+            if isinstance(v, (np.floating,)):
+                return repr(float(v))
+            return str(v)
+
+        if not os.path.exists(path):
+            header = list(row)
+            with open(path, "w", newline="") as fh:
+                w = csv.writer(fh)
+                w.writerow(header)
+                w.writerow([fmt(row.get(k)) for k in header])
+            return
+
+        with open(path, "r", newline="") as fh:
+            lines = fh.read().splitlines()
+        header = next(csv.reader(io.StringIO(lines[0])))
+        new_cols = [k for k in row if k not in header]
+        if new_cols:
+            header = header + new_cols
+            buf = io.StringIO()
+            csv.writer(buf).writerow(new_cols)
+            lines[0] = lines[0] + "," + buf.getvalue().rstrip("\r\n")
+            pad = "," * len(new_cols)
+            lines[1:] = [ln + pad for ln in lines[1:]]
+        buf = io.StringIO()
+        csv.writer(buf).writerow([fmt(row.get(k)) for k in header])
+        lines.append(buf.getvalue().rstrip("\r\n"))
+        with open(path, "w", newline="") as fh:
+            fh.write("\n".join(lines) + "\n")
