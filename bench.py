@@ -33,6 +33,9 @@ from rl_mpc_lanemerging_tpu.sim import init_world, warmup, sense_batch
 from rl_mpc_lanemerging_tpu.sim.world import add_ego, world_step
 
 BASELINE_SOLVES_PER_S = 12.7  # st_default, 1 CPU core (BASELINE.md)
+# reference combined_default_1b wall clock: 0.1777 s/step (saved_data.csv
+# row 27) — the heaviest arbiter variant, all gates incl. strictly-better
+BASELINE_COMBINED_STEPS_PER_S = 1.0 / 0.1777
 
 
 def _bench_states(cfg, batch, dtype=jnp.float32):
@@ -61,6 +64,69 @@ def _time_controller(controller, states, batch, iters):
     return batch * iters / dt
 
 
+def _compiled_kernel_parity(cfg, states, batch) -> None:
+    """On-device parity of the Mosaic-compiled Pallas kernel vs the dense
+    DP on the same full-scale grids (VERDICT r2 item 4: the interpret-mode
+    suite cannot catch compiled-path failures — the 02:56 st_default run
+    was exactly that).  Thresholds mirror tests/test_pallas.py: >= 97%
+    first-step agreement, >= 85% full-path match."""
+    import numpy as np
+
+    from rl_mpc_lanemerging_tpu.ops import st_dp
+    from rl_mpc_lanemerging_tpu.planner.grid import build_st_grid
+
+    dtype = jnp.float32
+    grids = jax.jit(jax.vmap(lambda s: build_st_grid(s, cfg, dtype)))(states)
+    acc = states.ego_accel.astype(dtype)
+    seq_p = np.asarray(mpc._pallas_solver(cfg)(
+        grids.obstacles, grids.s_values, grids.ego_speed, acc,
+        grids.distances))
+    w = mpc.weights_from_settings(cfg)
+    max_off = st_dp.default_max_offset(
+        cfg.MAX_SPEED, cfg.T_DISCRETIZATION, cfg.S_DISCRETIZATION)
+    dense = jax.jit(jax.vmap(
+        lambda g, a: st_dp.solve_st_fast(
+            g.obstacles, g.s_values, g.t_values, g.ego_speed, a,
+            g.distances, w, max_off)))
+    seq_d = np.asarray(dense(grids, acc))
+    first = float(np.mean(np.abs(seq_p[:, 1] - seq_d[:, 1]) < 1e-4))
+    full = float(np.mean(np.all(np.abs(seq_p - seq_d) < 1e-4, axis=1)))
+    print(json.dumps({
+        "metric": "pallas_compiled_parity", "batch": batch,
+        "first_step_agreement": round(first, 4),
+        "full_path_match": round(full, 4),
+        "pass": bool(first >= 0.97 and full >= 0.85)}))
+
+
+def _bench_combined(cfg, batch, iters) -> None:
+    """Combined RL+MPC arbiter throughput (VERDICT r2 item 7): policy fwd
+    + 5-step rollout + all four gates + shared Pallas solves per tick."""
+    import numpy as np
+
+    from rl_mpc_lanemerging_tpu.agents.combined import combined_controller
+    from rl_mpc_lanemerging_tpu.agents.ddpg import actor_jerk, _nets
+
+    ccfg = cfg.replace(CHECK_ROLLOUT_CRASH=True, TEST_ROLLOUT_STATE=True,
+                       TEST_ST_STRICTLY_BETTER=True, LIMIT_DQN_SPEED=False,
+                       ST_TEST_ROLLOUTS=5, ROLLOUT_LENGTH=5)
+    actor, _ = _nets(ccfg)
+    params = actor.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, ccfg.obs_dim)))
+    policy = actor_jerk(params, ccfg)
+    control, _, _ = combined_controller(policy, ccfg)
+    states = _bench_states(ccfg, batch)
+    jax.block_until_ready(control(states))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = control(states)
+    jax.block_until_ready(out)
+    rate = batch * iters / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "combined_steps_per_s", "batch": batch,
+        "value": round(rate, 1), "unit": "steps/s",
+        "vs_baseline": round(rate / BASELINE_COMBINED_STEPS_PER_S, 1)}))
+
+
 def main(batch: int = 0, iters: int = 20) -> None:
     cfg = Settings().replace(CRASH_MIN_S=20.0)  # st_default solver settings
     n_dev = len(jax.devices())
@@ -75,6 +141,12 @@ def main(batch: int = 0, iters: int = 20) -> None:
                           "value": round(rate, 1), "unit": "solves/s",
                           "devices": 1}))
         best = max(best, rate)
+
+    if jax.default_backend() != "cpu":
+        # compiled-kernel parity + combined-arbiter throughput, on-device
+        parity_states = _bench_states(cfg, 256)
+        _compiled_kernel_parity(cfg, parity_states, 256)
+        _bench_combined(cfg, batch or 512, max(iters // 2, 5))
 
     if n_dev > 1:
         # whole-mesh rate: scenario-sharded controller over every device

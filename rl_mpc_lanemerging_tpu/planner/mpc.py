@@ -340,6 +340,26 @@ def batched_controller_pallas(states: HighwayState, cfg: Settings):
     return batched_st_control(states, cfg, use_pallas=True)[0]
 
 
+def batched_conditional_st(states: HighwayState, proposed_speed,
+                           cfg: Settings, dtype=jnp.float32,
+                           use_pallas: bool = False):
+    """``do_conditional_st_based_on_first_step`` (reference st.py:805-814),
+    batched: predict one tick with the ego at ``proposed_speed``; where the
+    prediction crashes or the safety certificate condemns the predicted
+    state, the ST controller takes over, otherwise the proposed speed
+    executes.  Returns (speed (B,), st_took_over (B,) bool)."""
+    from ..prediction import predict_step_with_ego
+    nxt, crashed = jax.vmap(
+        lambda s, sp: predict_step_with_ego(
+            s, sp, cfg.TICK_LENGTH, cfg, cfg.MIN_ALLOWED_DISTANCE))(
+        states, proposed_speed.astype(states.ego_speed.dtype))
+    condemned = batched_test_guaranteed_crash(nxt, cfg, dtype, use_pallas)
+    take = crashed | condemned
+    st_speed = batched_st_control(states, cfg, dtype, use_pallas)[0]
+    speed = jnp.where(take, st_speed, proposed_speed.astype(st_speed.dtype))
+    return speed, take
+
+
 def make_batched_controller(cfg: Settings, force_reference: bool = False):
     """Pick the production controller for the current backend: the Pallas
     path on accelerators, the portable vmapped path elsewhere."""

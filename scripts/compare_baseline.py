@@ -41,8 +41,15 @@ def main(run_path="run_data.csv",
          ref_path="/root/reference/experiment_data/saved_data.csv",
          out_path="ACCEPTANCE.md"):
     ours = pd.read_csv(run_path)
+    # one row per config: the latest full-scale run (>= 1000 episodes)
+    ours = ours[ours["NUM_EPISODES"] >= 1000]
+    ours = ours.groupby("LOG_DIR", as_index=False).last()
     ref = pd.read_csv(ref_path)
     lines = ["# ACCEPTANCE — ours vs reference (saved_data.csv)", "",
+             "One row per config: the latest >= 1000-episode run in "
+             "run_data.csv vs the reference's highest-episode row. "
+             "clock_time_per_step compares TPU batch-amortized wall clock "
+             "to the reference's single-scenario CPU wall clock.", "",
              "| config | metric | ours | reference | ref SEM | Δ |",
              "|---|---|---|---|---|---|"]
     print(f"{'config':38s} {'metric':22s} {'ours':>10s} {'ref':>10s} "

@@ -135,3 +135,61 @@ def test_dqn_train_round_improves_nothing_but_runs():
     from rl_mpc_lanemerging_tpu.sim import sense_batch
     speeds = ctrl(sense_batch(state.env.world, cfg))
     assert speeds.shape == (4,)
+
+
+def test_acceleration_env_semantics():
+    """EnvKind.ACCELERATION (reference merge_gym.py:187-213 AccelerationEnv):
+    actions index ACCELERATION_VALUES_DQN; projected-jerk violations clamp
+    through the jerk path and pay the invalid-action penalty."""
+    cfg = CFG.replace(MAX_CARS=16, MAX_SENSED_CARS=8,
+                      REWARD_FUNCTION="Slotted Jerk")
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    world = jax.vmap(lambda k: init_world(k, cfg, jnp.float64))(keys)
+    env = env_reset(world, cfg, wait_before_start=2.0)
+    n_act = len(cfg.ACCELERATION_VALUES_DQN)
+    total_valid = 0
+    rewards = []
+    for i in range(30):
+        actions = jnp.full((4,), i % n_act, jnp.int32)
+        env, tr = env_step(env, actions, cfg, EnvKind.ACCELERATION,
+                           max_episode_length=3.0, wait_before_start=2.0)
+        total_valid += int(np.sum(np.asarray(tr["valid"])))
+        rewards.append(np.asarray(tr["reward"]))
+    assert total_valid > 4 * 10
+    assert env.obs.shape == (4, cfg.obs_dim)
+    assert np.all(np.isfinite(np.stack(rewards)))
+
+    # a max-acceleration demand from rest violates the jerk limit ->
+    # the executed acceleration is jerk-clamped, not the table value
+    env2 = env_reset(world, cfg, wait_before_start=0.0)
+    a_max_idx = int(np.argmax(np.asarray(cfg.ACCELERATION_VALUES_DQN)))
+    v0 = np.asarray(env2.state.ego_speed)
+    env2, tr2 = env_step(env2, jnp.full((4,), a_max_idx, jnp.int32), cfg,
+                         EnvKind.ACCELERATION, max_episode_length=3.0,
+                         wait_before_start=0.0)
+    v1 = np.asarray(env2.state.ego_speed)
+    active = np.asarray(tr2["valid"])
+    jerk_cap_dv = (cfg.MAXIMUM_POSITIVE_JERK * cfg.TICK_LENGTH
+                   + 1e-6) * cfg.TICK_LENGTH
+    assert np.all((v1 - v0)[active] <= jerk_cap_dv + 1e-6)
+
+
+def test_batched_conditional_st():
+    """do_conditional_st_based_on_first_step (reference st.py:805-814):
+    safe proposals pass through; proposals whose one-step prediction
+    crashes hand control to the ST solver."""
+    from rl_mpc_lanemerging_tpu.planner import mpc
+    from rl_mpc_lanemerging_tpu.prediction import make_state
+
+    cfg = CFG
+    # ego merged at s ~ 30, leader 6 m ahead at 7 m/s: proposing 30 m/s
+    # predicts a crash next tick; proposing 7 m/s is safe
+    safe = make_state(-21.0, -0.1, 7.0, 0.0, [-10.0, -45.0], [7.0, 7.0],
+                      [0.0, 0.0])
+    st = jax.tree.map(lambda *xs: jnp.stack(xs), safe, safe)
+    speeds, took = mpc.batched_conditional_st(
+        st, jnp.asarray([7.0, 30.0]), cfg, jnp.float64)
+    took = np.asarray(took)
+    assert not took[0] and took[1]
+    out = np.asarray(speeds)
+    assert out[0] == 7.0 and out[1] != 30.0
