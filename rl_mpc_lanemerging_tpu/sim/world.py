@@ -178,10 +178,10 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
     # SUMO junction semantics: once the ego has entered the junction's
     # internal merge lane it occupies the conflict area, and highway cars
     # (despite holding the major link, merge.net.xml request "00") brake
-    # for the vehicle physically on their path.  The forecaster models
-    # yielding only past s>8 (prediction.py:11), but the *simulator* must
-    # block from the junction entry or a committed ego could never force
-    # its way into a dense stream the way SUMO's does.
+    # for the vehicle mapped onto their path — the reference's own
+    # disruption record confirms strong yielding (st_default row 18:
+    # mean_disruption 0.288, max 6.64, disruption_time 1.36 s; an
+    # s>8-threshold yield reproduces almost none of it, mean 0.006).
     ego_on_highway = world.ego_active \
         & (world.ego_arc > geometry.EGO_JUNCTION_ARC)
 
@@ -195,8 +195,22 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
     has_leader = jnp.isfinite(jnp.min(cand_x, axis=1))
     leader_x = jnp.where(has_leader, x[leader_idx], jnp.inf)
     leader_v = jnp.where(has_leader, world.cars_v[leader_idx], 0.0)
-    # merged ego splices in if it is the nearest vehicle ahead
-    ego_between = ego_on_highway & (ego_x > x) & (ego_x < leader_x)
+    # merged ego splices in if it is the nearest vehicle ahead — AND the
+    # follower can actually yield within its braking rating.  SUMO's
+    # junction model is gap-acceptance from the major link's side too: a
+    # priority vehicle brakes for the merging foe only when stopping
+    # behind it is kinematically comfortable; a car already too close /
+    # too fast asserts priority and sails past at speed (which is why the
+    # reference's waiting ego watches full-speed passes, and why its
+    # recorded max follower disruption stays near the 6 m/s^2 decel
+    # rating instead of unphysical instant stops).
+    b_cap = -cfg.MAX_NEGATIVE_ACCELERATION
+    gap_e = ego_x - cfg.CAR_LENGTH - x - 1.0          # bumper gap + minGap
+    rel_brake = jnp.maximum(world.cars_v ** 2 - world.ego_v ** 2, 0.0) \
+        / (2.0 * b_cap)
+    can_yield = (gap_e >= 0.0) & (gap_e >= rel_brake)
+    ego_between = ego_on_highway & can_yield \
+        & (ego_x > x) & (ego_x < leader_x)
     leader_x = jnp.where(ego_between, ego_x, leader_x)
     leader_v = jnp.where(ego_between, world.ego_v, leader_v)
 
@@ -215,6 +229,22 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
             _krauss_next_speed(world.cars_v, gap, leader_v, cfg, dtype),
             0.0)
     new_cars_x = jnp.where(active, x + new_cars_v * dt, x)
+    # A SUMO follower never passes its leader: a car that yielded to the
+    # spliced ego queues behind it rather than creeping past at low
+    # speed.  Round-2 lacked this clamp; a follower could inch past a
+    # near-stopped ego waiting at the merge, after which the ego pulled
+    # out immediately behind it and overtook it again into a grazing
+    # side-swipe at the lateral-overlap onset — the entire residual
+    # st_default crash rate (dumps r0_0..r3_1).  With the can_yield gate
+    # above, every yielding car can comply within the decel rating, so
+    # the clamp is a numerical backstop (discrete-step overshoot), never
+    # an unphysical instant stop.
+    x_floor = x + jnp.maximum(world.cars_v - b_cap * dt, 0.0) * dt
+    ego_block = ego_x - cfg.CAR_LENGTH
+    blocked = ego_between & (new_cars_x > ego_block)
+    clamped_x = jnp.maximum(jnp.minimum(new_cars_x, ego_block), x_floor)
+    new_cars_x = jnp.where(blocked, clamped_x, new_cars_x)
+    new_cars_v = jnp.where(blocked, (new_cars_x - x) / dt, new_cars_v)
 
     # --- ego: speedMode 22 -> accel/decel limited toward the command ---
     cmd = jnp.asarray(ego_speed_command, dtype)

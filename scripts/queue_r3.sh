@@ -7,7 +7,8 @@
 cd /root/repo
 mkdir -p logs
 STATUS=logs/queue_r3_status.txt
-echo "queue-r3 started $(date)" >> "$STATUS"
+echo $$ > logs/queue_r3.pid
+echo "queue-r3 started $(date) pid=$$" >> "$STATUS"
 
 fam_of () { echo "$1" | sed -E 's/_[0-9]+b?$//; s/[0-9]+$//'; }
 
@@ -62,6 +63,10 @@ for fam in moderate low medium fast; do
   run_item "combined_${fam}_1"  3000 $PY $MAIN "configs/combined_${fam}_1.json"  --batch 512
   run_item "combined_${fam}_1b" 3000 $PY $MAIN "configs/combined_${fam}_1b.json" --batch 512
 done
+
+# --- phase 4b: Rainbow end-to-end (TRAIN_DQN pipeline, reference
+# rainbow.py:85-106: train -> lr/10 extended -> evaluate) ---
+run_item train_dqn_default_1 10000 $PY $MAIN configs/train_dqn_default_1.json
 
 # --- phase 5: off-distribution DDPG evals (paper's motivation story) ---
 for c in ddpg_medium_network_heavy_traffic_1 ddpg_medium_network_low_traffic_1 \

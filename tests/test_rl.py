@@ -193,3 +193,33 @@ def test_batched_conditional_st():
     assert not took[0] and took[1]
     out = np.asarray(speeds)
     assert out[0] == 7.0 and out[1] != 30.0
+
+
+def test_per_sampling_frequencies_and_is_weights():
+    """Monte-Carlo check that proportional sampling frequencies track the
+    priority distribution (the reference's own SumTree self-test,
+    dqn.py:1153-1165, samples 1/i weights) and that IS weights equal the
+    Schaul et al. correction (N * P(i))^-beta normalized by the batch max,
+    computed against the same priority array the sample was drawn from."""
+    key = jax.random.PRNGKey(3)
+    n = 64
+    r = rb.init_replay(n, 4, discrete=True)
+    pri = 1.0 / (1.0 + jnp.arange(n, dtype=jnp.float32))
+    r = r._replace(priority=pri, size=jnp.asarray(n, jnp.int32))
+
+    counts = np.zeros(n)
+    draws = 40
+    for i in range(draws):
+        idx, _, w = rb.sample_with_weights(r, jax.random.fold_in(key, i),
+                                           512, beta=0.5)
+        idx = np.asarray(idx)
+        counts += np.bincount(idx, minlength=n)
+        # exact IS weights for this draw
+        probs = np.asarray(pri)[idx] / float(np.sum(np.asarray(pri)))
+        expect = (n * probs) ** -0.5
+        expect = expect / expect.max()
+        np.testing.assert_allclose(np.asarray(w), expect, rtol=1e-4)
+    freq = counts / counts.sum()
+    expect_freq = np.asarray(pri) / float(np.sum(np.asarray(pri)))
+    # 20k draws: relative error on the head of the distribution < 10%
+    np.testing.assert_allclose(freq[:8], expect_freq[:8], rtol=0.1)
