@@ -3,8 +3,9 @@
 
 Matches rows by LOG_DIR (ours) to the reference experiment rows
 (/root/reference/experiment_data/saved_data.csv — the paper's full result
-set) and prints ours-vs-reference for the headline metrics, with the
-reference's own SEMs as tolerance context.  Writes ACCEPTANCE.md.
+set) and writes ACCEPTANCE.md: a per-family ours-vs-reference table over
+the headline metrics, with the reference's own SEMs as tolerance context,
+plus a coverage list of reference rows we have no counterpart for.
 """
 
 import sys
@@ -13,7 +14,7 @@ import numpy as np
 import pandas as pd
 
 METRICS = ["crashed", "merged", "mean_abs_jerk", "time_to_merge",
-           "mean_speed", "closest_distance", "clock_time_per_step"]
+           "clock_time_per_step"]
 
 # our LOG_DIR -> reference LOG_DIR (the reference logs eval runs under the
 # model/run name in its LOG_DIR column)
@@ -29,12 +30,23 @@ for _s in (1, 2, 3):
         f"ddpg_moderate_network_slow_traffic_{_s}"
 
 
+def family(log_dir: str) -> str:
+    for fam in ("st_", "combined_", "cross_", "ddpg_"):
+        if log_dir.startswith(fam):
+            return fam.rstrip("_")
+    return "other"
+
+
 def best_reference_row(ref: pd.DataFrame, log_dir: str):
     """Reference rows keyed by LOG_DIR; prefer the highest-episode row."""
     cand = ref[ref["LOG_DIR"] == NAME_MAP.get(log_dir, log_dir)]
     if cand.empty:
         return None
     return cand.sort_values("NUM_EPISODES").iloc[-1]
+
+
+def fmt(x, nd=4):
+    return "—" if pd.isna(x) else f"{x:.{nd}f}"
 
 
 def main(run_path="run_data.csv",
@@ -45,36 +57,80 @@ def main(run_path="run_data.csv",
     ours = ours[ours["NUM_EPISODES"] >= 1000]
     ours = ours.groupby("LOG_DIR", as_index=False).last()
     ref = pd.read_csv(ref_path)
-    lines = ["# ACCEPTANCE — ours vs reference (saved_data.csv)", "",
-             "One row per config: the latest >= 1000-episode run in "
-             "run_data.csv vs the reference's highest-episode row. "
-             "clock_time_per_step compares TPU batch-amortized wall clock "
-             "to the reference's single-scenario CPU wall clock.", "",
-             "| config | metric | ours | reference | ref SEM | Δ |",
-             "|---|---|---|---|---|---|"]
-    print(f"{'config':38s} {'metric':22s} {'ours':>10s} {'ref':>10s} "
-          f"{'Δ':>9s}")
+
+    matched, missing = [], []
     for _, row in ours.iterrows():
-        log_dir = row.get("LOG_DIR", "?")
-        r = best_reference_row(ref, log_dir)
-        if r is None:
+        r = best_reference_row(ref, row["LOG_DIR"])
+        if r is not None:
+            matched.append((row["LOG_DIR"], row, r))
+    matched_ref_names = {NAME_MAP.get(n, n) for n, _, _ in matched}
+    for rname in sorted(set(ref["LOG_DIR"])):
+        if rname not in matched_ref_names:
+            missing.append(rname)
+
+    lines = [
+        "# ACCEPTANCE — ours vs reference (saved_data.csv)", "",
+        "One row per config: the latest >= 1000-episode run in "
+        "run_data.csv vs the reference's highest-episode row "
+        "(reference SEM in parentheses under crash).  "
+        "clock_time_per_step compares TPU batch-amortized wall clock to "
+        "the reference's single-scenario 1-core CPU wall clock; the "
+        "ratio column is reference/ours (x faster).", ""]
+
+    # headline summary
+    n_zero = sum(1 for _, o, r in matched
+                 if r["crashed"] == 0.0 and o["crashed"] == 0.0)
+    n_ref_zero = sum(1 for _, _, r in matched if r["crashed"] == 0.0)
+    speedups = [r["clock_time_per_step"] / o["clock_time_per_step"]
+                for _, o, r in matched
+                if o["clock_time_per_step"] > 0
+                and not pd.isna(r["clock_time_per_step"])]
+    lines += [
+        f"**{len(matched)}** matched reference configs; "
+        f"**{n_zero}/{n_ref_zero}** of the reference's zero-crash rows "
+        f"reproduced at exactly 0.0 crash; median wall-clock speedup "
+        f"**{np.median(speedups):,.0f}x** (range "
+        f"{min(speedups):,.0f}-{max(speedups):,.0f}x).", ""]
+
+    for fam in ("st", "combined", "cross", "ddpg"):
+        rows = [(n, o, r) for n, o, r in matched if family(n) == fam]
+        if not rows:
             continue
-        for m in METRICS:
-            if m not in row or m not in r or pd.isna(row[m]) \
-                    or pd.isna(r[m]):
-                continue
-            ref_sem = r.get(m + "_std", np.nan)
-            delta = row[m] - r[m]
-            print(f"{log_dir:38s} {m:22s} {row[m]:10.4f} {r[m]:10.4f} "
-                  f"{delta:+9.4f}")
-            lines.append(f"| {log_dir} | {m} | {row[m]:.4f} | {r[m]:.4f} "
-                         f"| {ref_sem if pd.isna(ref_sem) else round(ref_sem, 4)} "
-                         f"| {delta:+.4f} |")
-        print()
-        lines.append("| | | | | | |")
+        lines += [f"## {fam} family", "",
+                  "| config | crash ours | crash ref (SEM) | merge ours "
+                  "| merge ref | jerk ours | jerk ref | t-merge ours "
+                  "| t-merge ref | s/step ours | s/step ref | speed |",
+                  "|---|---|---|---|---|---|---|---|---|---|---|---|"]
+        for name, o, r in sorted(rows):
+            sem = r.get("crashed_std", np.nan)
+            ratio = (r["clock_time_per_step"] / o["clock_time_per_step"]
+                     if o["clock_time_per_step"] > 0 else np.nan)
+            lines.append(
+                f"| {name} | {fmt(o['crashed'])} | {fmt(r['crashed'])} "
+                f"({fmt(sem)}) | {fmt(o['merged'])} | {fmt(r['merged'])} "
+                f"| {fmt(o['mean_abs_jerk'], 3)} "
+                f"| {fmt(r['mean_abs_jerk'], 3)} "
+                f"| {fmt(o.get('time_to_merge', np.nan), 2)} "
+                f"| {fmt(r.get('time_to_merge', np.nan), 2)} "
+                f"| {o['clock_time_per_step']:.2e} "
+                f"| {fmt(r['clock_time_per_step'])} "
+                f"| {'—' if pd.isna(ratio) else format(ratio, ',.0f') + 'x'} |")
+        lines.append("")
+
+    extra = sorted(n for n in ours["LOG_DIR"]
+                   if best_reference_row(ref, n) is None)
+    if extra:
+        lines += ["## Our rows with no reference counterpart", ""]
+        lines += [f"- {n}" for n in extra] + [""]
+    if missing:
+        lines += ["## Reference rows not yet reproduced", ""]
+        lines += [f"- {n}" for n in missing] + [""]
+
     with open(out_path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(f"wrote {out_path}")
+    print("\n".join(lines[:12]))
+    print(f"... wrote {out_path}: {len(matched)} matched, "
+          f"{len(missing)} reference rows missing")
 
 
 if __name__ == "__main__":

@@ -115,6 +115,24 @@ def main(outdir="configs"):
                 cfg["TEST_ST_STRICTLY_BETTER"] = (b == "b")
                 out[name] = cfg
 
+    # cross-traffic combined, moderate-trained network: the reference's
+    # second cross family (saved_data.csv cross_moderate_network_
+    # {fast,slow}_traffic_*; its "slow" is the default heavy/slow traffic
+    # — reference configs/cross_moderate_network_slow_traffic_1.json has
+    # interval 1.2 / speed 7.0)
+    for traffic, tname in (("fast", "fast"), ("default", "slow")):
+        for seed in range(3):
+            for b in ("", "b"):
+                name = (f"cross_moderate_network_{tname}_traffic_"
+                        f"{seed + 1}{b}")
+                cfg = base("EVALUATE_COMBINED_DDPG", name, 200 + seed,
+                           traffic)
+                cfg["MODEL_NAME"] = \
+                    f"runs/ddpg_moderate{seed + 1}_extended"
+                cfg.update(COMBINATION)
+                cfg["TEST_ST_STRICTLY_BETTER"] = (b == "b")
+                out[name] = cfg
+
     # RL-only cross-traffic evaluation: medium/moderate networks
     for net in ("medium", "moderate"):
         for traffic in TRAFFIC:
