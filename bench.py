@@ -131,12 +131,17 @@ def main(batch: int = 0, iters: int = 20) -> None:
     cfg = Settings().replace(CRASH_MIN_S=20.0)  # st_default solver settings
     n_dev = len(jax.devices())
 
-    batches = [batch] if batch else [128, 256, 512, 1024]
+    batches = [batch] if batch else [128, 256, 512, 1024, 2048]
     best = 0.0
     controller = mpc.make_batched_controller(cfg)
     for b in batches:
-        states = _bench_states(cfg, b)
-        rate = _time_controller(controller, states, b, iters)
+        try:
+            states = _bench_states(cfg, b)
+            rate = _time_controller(controller, states, b, iters)
+        except Exception as e:  # e.g. OOM at the largest batch
+            print(json.dumps({"metric": "mpc_solves_per_s_sweep",
+                              "batch": b, "error": repr(e)[:160]}))
+            continue
         print(json.dumps({"metric": "mpc_solves_per_s_sweep", "batch": b,
                           "value": round(rate, 1), "unit": "solves/s",
                           "devices": 1}))

@@ -14,7 +14,7 @@ import logging
 from .config import Settings
 
 
-def do_task(cfg: Settings) -> None:
+def do_task(cfg: Settings, num_frames: float = 1e6) -> None:
     task = cfg.TASK
     from .rundir import setup_run_dir
     setup_run_dir(cfg, snapshot_src=task.startswith(("TRAIN", "RESUME")))
@@ -24,10 +24,12 @@ def do_task(cfg: Settings) -> None:
         agg.add_csv_data()
     elif task in ("TRAIN_DQN", "RESUME_DQN"):
         from .agents import rainbow as rainbow_agent
-        rainbow_agent.train(cfg, resume=(task == "RESUME_DQN"))
+        rainbow_agent.train(cfg, num_frames=num_frames,
+                            resume=(task == "RESUME_DQN"))
     elif task in ("TRAIN_DDPG", "RESUME_DDPG"):
         from .agents import ddpg as ddpg_agent
-        ddpg_agent.train(cfg, resume=(task == "RESUME_DDPG"))
+        ddpg_agent.train(cfg, num_frames=num_frames,
+                         resume=(task == "RESUME_DDPG"))
     elif task == "EVALUATE_DQN":
         from .agents import rainbow as rainbow_agent
         rainbow_agent.evaluate(cfg)
@@ -89,6 +91,10 @@ def main(argv=None) -> None:
                         help="override NUM_EPISODES")
     parser.add_argument("--batch", type=int, default=None,
                         help="override BATCH_SCENARIOS")
+    parser.add_argument("--frames", type=float, default=1e6,
+                        help="frame budget per training stage (TRAIN_* "
+                             "tasks; the reference trains 1e6 + 1e6 "
+                             "extended, reference ddpg.py:96-102)")
     parser.add_argument("--platform", default=None,
                         help="force a JAX platform (e.g. cpu, tpu); by "
                              "default the ambient accelerator is used")
@@ -124,7 +130,7 @@ def main(argv=None) -> None:
     elif args.grid_search == "combined":
         do_grid_search_combined(cfg)
     else:
-        do_task(cfg)
+        do_task(cfg, num_frames=args.frames)
 
 
 if __name__ == "__main__":

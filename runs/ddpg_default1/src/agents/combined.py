@@ -22,6 +22,14 @@ solve from the current state between the strictly-better comparison and the
 executed takeover command, plus one solve from the rollout test state — all
 four gates evaluate branchlessly across the batch and the final command is
 a ``jnp.where`` select.
+
+Both solves route through ``mpc.batched_st_control`` /
+``mpc.batched_test_guaranteed_crash``, which use the Pallas wavefront
+kernel on accelerators (the same production path as the ST-only
+evaluation) and the portable dense DP on CPU.  The dense DP materializes
+(max_offset x S) candidate tensors per layer per scenario — multi-GB of
+live intermediates at production batch sizes, which faulted the TPU in
+round 2's combined runs — so it is never selected on device backends.
 """
 
 from __future__ import annotations
@@ -116,16 +124,28 @@ def _rl_rollout(policy, states: HighwayState, first_jerk, cfg: Settings):
 
 
 def combined_controller(policy: Callable[[HighwayState], jax.Array],
-                        cfg: Settings, dtype=jnp.float32):
-    """Build (controller, batch_stats_fn).
+                        cfg: Settings, dtype=jnp.float32,
+                        use_pallas: bool | None = None):
+    """Build (controller, init_carry, batch_stats_fn).
 
     ``controller``: batched HighwayState -> (speed commands, takeover flag)
     — the flag feeds the percent-ST statistic (reference dqn.py:101-115).
+    With REMEMBER_LAST_CHOICE_FOR_SWITCHING_COMBINED the controller is
+    stateful (carry = last tick's takeover flags, the vectorized
+    ``takeover_history[-1]`` of reference dqn.py:126-127) and called as
+    ``controller(states, carry)``; ``init_carry(batch)`` builds the initial
+    carry, or is None for the stateless form.
     ``batch_stats_fn``: EpisodeStats -> custom stat dict for aggregation.
-    """
 
-    @functools.partial(jax.jit, static_argnames=())
-    def control(states: HighwayState):
+    ``use_pallas`` selects the ST solver backend for the 2 solves per tick;
+    None picks the Pallas kernel on accelerators and the portable dense DP
+    on CPU (same policy as ``mpc.make_batched_controller``).
+    """
+    remember = cfg.REMEMBER_LAST_CHOICE_FOR_SWITCHING_COMBINED
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+
+    def _control(states: HighwayState, last_take):
         first_jerk = policy(states)
         v = states.ego_speed.astype(dtype)
         a = states.ego_accel.astype(dtype)
@@ -134,8 +154,8 @@ def combined_controller(policy: Callable[[HighwayState], jax.Array],
             _rl_rollout(policy, states, first_jerk, cfg)
 
         # --- ST solve shared by gate d and the takeover command ---
-        st_speed, plan, fine, fine_len = jax.vmap(
-            lambda s: mpc.st_control_speed(s, cfg, dtype))(states)
+        st_speed, _seq, _valid, fine, fine_len, _grids = \
+            mpc.batched_st_control(states, cfg, dtype, use_pallas)
 
         # --- gates ---
         take = jnp.zeros_like(crash_pred)
@@ -144,9 +164,8 @@ def combined_controller(policy: Callable[[HighwayState], jax.Array],
         if cfg.LIMIT_DQN_SPEED:
             take = take | (sel_speed > cfg.DESIRED_SPEED)
         if cfg.TEST_ROLLOUT_STATE:
-            condemned = jax.vmap(
-                lambda s: mpc.test_guaranteed_crash(s, cfg, dtype))(
-                test_state)
+            condemned = mpc.batched_test_guaranteed_crash(
+                test_state, cfg, dtype, use_pallas)
             take = take | condemned
 
         rl_speed = _speed_from_jerk(v, a, first_jerk.astype(dtype), cfg)
@@ -166,17 +185,39 @@ def combined_controller(policy: Callable[[HighwayState], jax.Array],
                 s_hist, idxs[:, None], axis=1)[:, 0] - s_hist[:, 0]
             st_better = ((st_jerk < rl_jerk) & (st_dist > rl_dist)) \
                 | (rl_dist == 0.0)
+            if remember:
+                # hysteresis (dqn.py:176-197): after an ST tick, ST keeps
+                # control unless RL is strictly better on BOTH criteria
+                rl_better = (rl_jerk < st_jerk) & (rl_dist > st_dist)
+                st_better = jnp.where(last_take, ~rl_better, st_better)
             # degenerate smoothed path -> stick with RL (dqn.py:166-169)
             st_better = st_better & (fine_len > 1)
             take = take | (~take & st_better)
 
         speed = jnp.where(take, st_speed, rl_speed)
         return speed.astype(states.ego_speed.dtype), \
-            take.astype(jnp.float32)
+            take.astype(jnp.float32), take
+
+    if remember:
+        @jax.jit
+        def control(states: HighwayState, carry):
+            speed, take_f, take = _control(states, carry)
+            return (speed, take_f), take
+
+        def init_carry(batch: int):
+            return jnp.zeros((batch,), bool)
+    else:
+        @jax.jit
+        def control(states: HighwayState):
+            speed, take_f, _ = _control(
+                states, jnp.zeros_like(states.ego_speed, bool))
+            return speed, take_f
+
+        init_carry = None
 
     def batch_stats(stats) -> Dict[str, np.ndarray]:
         ticks = np.maximum(np.asarray(stats.ticks), 1)
         return {"percent st solver":
                 np.asarray(stats.aux_sum) / ticks}
 
-    return control, batch_stats
+    return control, init_carry, batch_stats

@@ -99,7 +99,11 @@ def make_train_state(cfg: Settings, world: WorldState, rng: jax.Array,
 
 
 def _update(cfg: Settings, lr: float, actor_params, critic_params,
-            target_actor, target_critic, a_opt, c_opt, batch):
+            target_actor, target_critic, a_opt, c_opt, batch,
+            axis_name: str | None = None):
+    """One DDPG update.  With ``axis_name`` the gradients are pmean-reduced
+    across the device mesh (data-parallel training, SURVEY §2.3), keeping
+    every device's parameter copy identical."""
     actor, critic = _nets(cfg)
     act = batch["action"][:, None]
 
@@ -113,6 +117,8 @@ def _update(cfg: Settings, lr: float, actor_params, critic_params,
         return jnp.mean((q - target) ** 2)
 
     c_grads = jax.grad(critic_loss)(critic_params)
+    if axis_name is not None:
+        c_grads = jax.lax.pmean(c_grads, axis_name)
     c_updates, c_opt = optax.adam(lr).update(c_grads, c_opt, critic_params)
     critic_params = optax.apply_updates(critic_params, c_updates)
 
@@ -121,6 +127,8 @@ def _update(cfg: Settings, lr: float, actor_params, critic_params,
         return -jnp.mean(critic.apply(critic_params, batch["obs"], a))
 
     a_grads = jax.grad(actor_loss)(actor_params)
+    if axis_name is not None:
+        a_grads = jax.lax.pmean(a_grads, axis_name)
     a_updates, a_opt = optax.adam(lr).update(a_grads, a_opt, actor_params)
     actor_params = optax.apply_updates(actor_params, a_updates)
 
@@ -130,12 +138,10 @@ def _update(cfg: Settings, lr: float, actor_params, critic_params,
             soft(target_critic, critic_params), a_opt, c_opt)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "env_ticks", "lr",
-                                             "updates_per_tick",
-                                             "wait_before_start"))
-def train_round(state: DDPGTrainState, cfg: Settings, lr: float,
-                env_ticks: int = 64, updates_per_tick: int = 64,
-                wait_before_start: float = 20.0) -> DDPGTrainState:
+def _train_round_impl(state: DDPGTrainState, cfg: Settings, lr: float,
+                      env_ticks: int = 64, updates_per_tick: int = 64,
+                      wait_before_start: float = 20.0,
+                      axis_name: str | None = None) -> DDPGTrainState:
     """env_ticks batched env steps; ``updates_per_tick`` gradient updates
     per tick once the replay warms up.  The reference library does one
     update per environment frame (update_frequency=1); with B scenarios
@@ -176,7 +182,8 @@ def train_round(state: DDPGTrainState, cfg: Settings, lr: float,
                 rng, k = jax.random.split(rng)
                 _, batch = rb.sample(replay, k, DDPG_BATCH)
                 ap, cp, ta, tc, ao, co = _update(cfg, lr, ap, cp, ta, tc,
-                                                 ao, co, batch)
+                                                 ao, co, batch,
+                                                 axis_name=axis_name)
                 return (rng, ap, cp, ta, tc, ao, co), None
 
             out, _ = jax.lax.scan(upd, args, None, length=updates_per_tick)
@@ -198,6 +205,53 @@ def train_round(state: DDPGTrainState, cfg: Settings, lr: float,
 
     state, _ = jax.lax.scan(tick, state, None, length=env_ticks)
     return state
+
+
+train_round = jax.jit(_train_round_impl,
+                      static_argnames=("cfg", "env_ticks", "lr",
+                                       "updates_per_tick",
+                                       "wait_before_start", "axis_name"))
+
+
+def make_sharded_train(cfg: Settings, mesh, rng: jax.Array, lr: float,
+                       env_ticks: int = 200, updates_per_tick: int = 64,
+                       init_params: tuple | None = None,
+                       wait_before_start: float = 20.0):
+    """Data-parallel trainer over the scenario mesh: each device owns a
+    full local train state (envs + replay + a parameter copy); updates
+    pmean their gradients so the copies stay identical (SURVEY §2.3
+    actor/learner parallelism; the reference trains strictly
+    single-process, dqn.py:272-354).
+
+    Returns (global_state, round_fn) where round_fn advances every shard
+    one train round.
+    """
+    from .. import tasks
+    from ..parallel import sharded
+    from ..parallel.mesh import SCENARIO_AXIS
+
+    n = mesh.devices.size
+    keys = jax.random.split(rng, n)
+    locals_ = []
+    for i in range(n):
+        world = tasks.make_worlds(cfg.replace(SEED=int(cfg.SEED) + i
+                                              if cfg.SEED != "Random"
+                                              else cfg.SEED))
+        locals_.append(make_train_state(
+            cfg, world, keys[i], lr=lr, init_params=init_params,
+            wait_before_start=wait_before_start))
+        if init_params is None:
+            # every shard must start from the same parameter copy (DP)
+            init_params = (locals_[0].actor_params,
+                           locals_[0].critic_params)
+    gstate = sharded.shard_train_state(sharded.stack_states(locals_), mesh)
+
+    body = functools.partial(
+        _train_round_impl, cfg=cfg, lr=lr, env_ticks=env_ticks,
+        updates_per_tick=updates_per_tick,
+        wait_before_start=wait_before_start, axis_name=SCENARIO_AXIS)
+    round_fn = sharded.sharded_train_round(body, mesh)
+    return gstate, round_fn
 
 
 def actor_jerk(actor_params, cfg: Settings):
@@ -232,12 +286,15 @@ def actor_controller(actor_params, cfg: Settings):
 
 def _eval_actor(cfg: Settings, params, num_episodes: int):
     """Greedy-policy evaluation; returns (crash, merge, jerk) means
-    (reference dqn.py:282-285 periodic eval at EVALUATION_PERIOD)."""
+    (reference dqn.py:282-285 periodic eval at EVALUATION_PERIOD, run at
+    EVALUATION_TICK_LENGTH / EVALUATION_EPISODE_LENGTH — the batched
+    equivalent of sumo.change_step_size, sumo.py:65-68)."""
     from .. import tasks
-    controller = jax.jit(actor_controller(params, cfg))
-    agg = tasks.evaluate_controller(cfg, controller,
-                                    num_episodes=num_episodes,
-                                    verbose=False)
+    eval_cfg = cfg.replace(TICK_LENGTH=cfg.EVALUATION_TICK_LENGTH)
+    controller = jax.jit(actor_controller(params, eval_cfg))
+    agg = tasks.evaluate_controller(
+        eval_cfg, controller, num_episodes=num_episodes,
+        max_episode_length=cfg.EVALUATION_EPISODE_LENGTH, verbose=False)
     avg = agg.get_stat_averages()
     return avg["crashed"], avg["merged"], avg["mean_abs_jerk"]
 
@@ -247,14 +304,15 @@ def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
                   updates_per_tick: int = 64,
                   eval_every_rounds: int = 0,
                   eval_episodes: int = 256) -> DDPGTrainState:
+    from .budget import frame_budget_rounds
     ticks_per_round = 200
     batch = state.env.obs.shape[0]
-    rounds = int(num_frames // (ticks_per_round * batch)) + 1
     frames0 = int(state.frames)
-    for r in range(rounds):
+    for r in frame_budget_rounds(num_frames, ticks_per_round * batch):
         state = train_round(state, cfg, lr, env_ticks=ticks_per_round,
                             updates_per_tick=updates_per_tick)
-        if r % 5 == 4 or r == rounds - 1:
+        if r % 5 == 4 \
+                or int(state.frames) - frames0 >= num_frames:
             state = jax.block_until_ready(state)
             n = max(float(state.ep_ret_n), 1.0)
             avg_ret = float(state.ep_ret_sum) / n
@@ -262,7 +320,8 @@ def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
             state = state._replace(ep_ret_sum=jnp.zeros(()),
                                    ep_ret_n=jnp.zeros(()))
             if verbose:
-                print(f"  round {r + 1}/{rounds} frames={int(state.frames)}"
+                print(f"  round {r + 1} frames={int(state.frames)}"
+                      f"/{int(num_frames)}"
                       f" episodes={int(state.episodes)}"
                       f" avg_return={avg_ret:.3f}", flush=True)
             if run is not None:
@@ -348,6 +407,7 @@ def evaluate(cfg: Settings, params=None, verbose: bool = True):
     agg = tasks.evaluate_controller(cfg, controller, verbose=verbose)
     if verbose:
         agg.print_stats()
+    agg.save_plots(f"runs/{cfg.LOG_DIR}")
     agg.add_csv_data()
     return agg
 
@@ -359,10 +419,13 @@ def evaluate_combined(cfg: Settings, params=None, verbose: bool = True):
     if params is None:
         params = _load_actor(cfg)
     policy = actor_jerk(params, cfg)
-    controller, takeover_stats = combined_controller(policy, cfg)
+    controller, init_carry, takeover_stats = combined_controller(policy, cfg)
+    carry = init_carry(cfg.BATCH_SCENARIOS) if init_carry else None
     agg = tasks.evaluate_controller(cfg, controller, verbose=verbose,
-                                    custom_stats=takeover_stats)
+                                    custom_stats=takeover_stats,
+                                    controller_carry=carry)
     if verbose:
         agg.print_stats()
+    agg.save_plots(f"runs/{cfg.LOG_DIR}")
     agg.add_csv_data()
     return agg

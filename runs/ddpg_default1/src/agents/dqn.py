@@ -62,10 +62,12 @@ def make_optimizer(cfg: Settings):
 
 def make_train_state(cfg: Settings, world: WorldState,
                      rng: jax.Array,
-                     wait_before_start: float = 20.0) -> DQNTrainState:
+                     wait_before_start: float = 20.0,
+                     init_params=None) -> DQNTrainState:
     net = _net(cfg)
     rng, k = jax.random.split(rng)
-    params = net.init(k, jnp.zeros((1, cfg.obs_dim)))
+    params = init_params if init_params is not None \
+        else net.init(k, jnp.zeros((1, cfg.obs_dim)))
     opt_state = make_optimizer(cfg).init(params)
     replay = rb.init_replay(cfg.REPLAY_BUFFER_SIZE, cfg.obs_dim,
                             discrete=True)
@@ -101,7 +103,8 @@ def _targets(params, target_params, batch, cfg: Settings):
     return batch["reward"] + boot
 
 
-def _grad_step(params, opt_state, batch, target_params, cfg: Settings):
+def _grad_step(params, opt_state, batch, target_params, cfg: Settings,
+               axis_name: str | None = None):
     net = _net(cfg)
     targets = _targets(params, target_params, batch, cfg)
 
@@ -111,6 +114,8 @@ def _grad_step(params, opt_state, batch, target_params, cfg: Settings):
         return jnp.mean(optax.huber_loss(qa, targets)), qa
 
     (loss, qa), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
     updates, opt_state = make_optimizer(cfg).update(grads, opt_state,
                                                     params)
     params = optax.apply_updates(params, updates)
@@ -118,12 +123,10 @@ def _grad_step(params, opt_state, batch, target_params, cfg: Settings):
     return params, opt_state, loss, td
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "env_ticks",
-                                             "grad_steps",
-                                             "wait_before_start"))
-def train_round(state: DQNTrainState, cfg: Settings, env_ticks: int = 64,
-                grad_steps: int = 16,
-                wait_before_start: float = 20.0) -> DQNTrainState:
+def _train_round_impl(state: DQNTrainState, cfg: Settings,
+                      env_ticks: int = 64, grad_steps: int = 16,
+                      wait_before_start: float = 20.0,
+                      axis_name: str | None = None) -> DQNTrainState:
     """One jitted round: collect env_ticks of batched experience with the
     epsilon-greedy policy, then grad_steps prioritized updates."""
     net = _net(cfg)
@@ -159,7 +162,8 @@ def train_round(state: DQNTrainState, cfg: Settings, env_ticks: int = 64,
         rng, k = jax.random.split(rng)
         idx, batch = rb.sample(replay, k, cfg.BATCH_SIZE)
         params, opt_state, loss, td = _grad_step(
-            params, opt_state, batch, state.target_params, cfg)
+            params, opt_state, batch, state.target_params, cfg,
+            axis_name=axis_name)
         if cfg.USE_PRIORITIZED_ER:
             replay = rb.update_priorities(replay, idx, td, cfg)
         return (params, opt_state, replay, rng, loss_sum + loss), None
@@ -187,9 +191,102 @@ def train_round(state: DQNTrainState, cfg: Settings, env_ticks: int = 64,
                           episodes=episodes, loss_sum=loss_sum)
 
 
+train_round = jax.jit(_train_round_impl,
+                      static_argnames=("cfg", "env_ticks", "grad_steps",
+                                       "wait_before_start", "axis_name"))
+
+
+def make_sharded_train(cfg: Settings, mesh, rng: jax.Array,
+                       env_ticks: int = 64, grad_steps: int = 16,
+                       wait_before_start: float = 20.0):
+    """Data-parallel DQN training over the scenario mesh (see
+    agents.ddpg.make_sharded_train for the scheme): per-device env+replay
+    shards, pmean-reduced gradients, identical parameter copies."""
+    from .. import tasks
+    from ..parallel import sharded
+    from ..parallel.mesh import SCENARIO_AXIS
+
+    n = mesh.devices.size
+    keys = jax.random.split(rng, n)
+    locals_ = []
+    for i in range(n):
+        world = tasks.make_worlds(cfg.replace(SEED=int(cfg.SEED) + i
+                                              if cfg.SEED != "Random"
+                                              else cfg.SEED))
+        locals_.append(make_train_state(
+            cfg, world, keys[i], wait_before_start=wait_before_start,
+            init_params=None if not locals_ else locals_[0].params))
+    gstate = sharded.shard_train_state(sharded.stack_states(locals_), mesh)
+
+    body = functools.partial(
+        _train_round_impl, cfg=cfg, env_ticks=env_ticks,
+        grad_steps=grad_steps, wait_before_start=wait_before_start,
+        axis_name=SCENARIO_AXIS)
+    round_fn = sharded.sharded_train_round(body, mesh)
+    return gstate, round_fn
+
+
 def refresh_target(state: DQNTrainState) -> DQNTrainState:
     """Hard target copy (reference dqn.py:278-280)."""
     return state._replace(target_params=state.params)
+
+
+def train(cfg: Settings, num_episodes: int | None = None,
+          verbose: bool = True, env_ticks: int = 200):
+    """Task-level driver mirroring the reference's custom trainer loop
+    (dqn.py:257-359 ``DQNAgent._train``): train for NUM_TRAINING_EPISODES
+    with the staircase epsilon schedule, refresh the target net every
+    TARGET_NET_FREEZE_PERIOD episodes (dqn.py:278-280), run a greedy eval
+    + checkpoint every EVALUATION_PERIOD episodes (dqn.py:282-285), and
+    log loss/epsilon scalars (dqn.py:308-309)."""
+    from .. import tasks
+    from ..checkpoint import save_params
+    from ..rundir import setup_run_dir
+
+    run = setup_run_dir(cfg)
+    num_episodes = num_episodes or cfg.NUM_TRAINING_EPISODES
+    worlds = tasks.make_worlds(cfg)
+    state = make_train_state(cfg, worlds, tasks.seed_key(cfg))
+    grad_per_round = max(1, cfg.TRAINING_STEPS_PER_EPISODE)
+    last_target = 0
+    last_eval = 0
+    r = 0
+    while int(state.episodes) < num_episodes:
+        state = train_round(state, cfg, env_ticks=env_ticks,
+                            grad_steps=grad_per_round * 4)
+        r += 1
+        eps_done = int(state.episodes)
+        if eps_done - last_target >= cfg.TARGET_NET_FREEZE_PERIOD:
+            state = refresh_target(state)
+            last_target = eps_done
+        if eps_done - last_eval >= cfg.EVALUATION_PERIOD:
+            last_eval = eps_done
+            eval_cfg = cfg.replace(TICK_LENGTH=cfg.EVALUATION_TICK_LENGTH)
+            controller = jax.jit(greedy_controller(state.params, eval_cfg))
+            agg = tasks.evaluate_controller(
+                eval_cfg, controller,
+                num_episodes=cfg.NUM_EVALUATION_EPISODES,
+                max_episode_length=cfg.EVALUATION_EPISODE_LENGTH,
+                verbose=False)
+            avg = agg.get_stat_averages()
+            if verbose:
+                print(f"  [eval @ {eps_done} eps] "
+                      f"crash={avg['crashed']:.4f} "
+                      f"merge={avg['merged']:.4f} "
+                      f"jerk={avg['mean_abs_jerk']:.3f}", flush=True)
+            run.log_scalars(eps_done, {"eval_crash": avg["crashed"],
+                                       "eval_merge": avg["merged"],
+                                       "eval_jerk": avg["mean_abs_jerk"]})
+            save_params(run.path, {"q": state.params})     # checkpoint
+        if verbose and r % 10 == 0:
+            state = jax.block_until_ready(state)
+            eps = float(epsilon_by_episode(state.episodes, cfg))
+            loss = float(state.loss_sum)
+            print(f"  round {r} episodes={eps_done} eps={eps:.3f} "
+                  f"loss={loss:.4f}", flush=True)
+            run.log_scalars(eps_done, {"epsilon": eps, "loss": loss})
+    save_params(run.path, {"q": state.params})
+    return state
 
 
 def greedy_controller(params, cfg: Settings):

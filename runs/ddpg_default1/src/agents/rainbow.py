@@ -35,7 +35,80 @@ V_MIN, V_MAX = -10.0, 10.0
 RAINBOW_BATCH = 64
 RAINBOW_DISCOUNT = 0.99
 REPLAY_START = 2000
-TARGET_PERIOD_ROUNDS = 16     # hard target refresh cadence (rounds)
+N_STEP = 3                    # published Rainbow n-step horizon
+BETA_START = 0.4              # PER importance-sampling anneal start
+BETA_FRAMES = 2e6             # frames to reach beta = 1
+
+
+class NStepStage(NamedTuple):
+    """Sliding window of the last N_STEP transitions per scenario; the
+    oldest entry is emitted as an n-step transition each tick once the
+    window is full (standard n-step staging, vectorized over the batch).
+    Window index 0 = oldest."""
+
+    obs: jax.Array        # (B, n, D)
+    action: jax.Array     # (B, n) int32
+    reward: jax.Array     # (B, n)
+    next_obs: jax.Array   # (B, n, D)
+    terminal: jax.Array   # (B, n) bool
+    valid: jax.Array      # (B, n) bool
+    fill: jax.Array       # () int32, entries appended so far (capped at n)
+
+
+def init_stage(batch: int, obs_dim: int, n: int = N_STEP) -> NStepStage:
+    return NStepStage(
+        obs=jnp.zeros((batch, n, obs_dim)),
+        action=jnp.zeros((batch, n), jnp.int32),
+        reward=jnp.zeros((batch, n)),
+        next_obs=jnp.zeros((batch, n, obs_dim)),
+        terminal=jnp.zeros((batch, n), bool),
+        valid=jnp.zeros((batch, n), bool),
+        fill=jnp.zeros((), jnp.int32))
+
+
+def stage_push(stage: NStepStage, tr) -> NStepStage:
+    """Shift the window left and append this tick's transition."""
+    def shift(w, new):
+        return jnp.concatenate([w[:, 1:], new[:, None]], axis=1)
+
+    return NStepStage(
+        obs=shift(stage.obs, tr["obs"]),
+        action=shift(stage.action, tr["action"].astype(jnp.int32)),
+        reward=shift(stage.reward, tr["reward"]),
+        next_obs=shift(stage.next_obs, tr["next_obs"]),
+        terminal=shift(stage.terminal, tr["terminal"]),
+        valid=shift(stage.valid, tr["valid"]),
+        fill=jnp.minimum(stage.fill + 1, stage.obs.shape[1]))
+
+
+def nstep_head(stage: NStepStage, gamma: float):
+    """Emit the window head as an n-step transition.
+
+    Accumulation stops at the first terminal (transition ends the episode,
+    no bootstrap) or the first invalid entry (episode boundary without a
+    terminal — timeout/warmup — bootstrap from the last in-episode state).
+    Returns (obs, action, R, next_obs_K, terminal, gamma^K, valid).
+    """
+    n = stage.obs.shape[1]
+    k = jnp.arange(n)
+    big = jnp.asarray(n, jnp.int32)
+    first_term = jnp.min(jnp.where(stage.terminal, k, big), axis=1)
+    first_inval = jnp.min(jnp.where(~stage.valid, k, big), axis=1)
+    # K = steps accumulated (1..n)
+    K = jnp.minimum(jnp.minimum(first_term + 1, first_inval),
+                    big).astype(jnp.int32)
+    K = jnp.maximum(K, 1)
+    gammas = gamma ** k.astype(stage.reward.dtype)
+    take = k[None, :] < K[:, None]
+    R = jnp.sum(jnp.where(take, gammas[None, :] * stage.reward, 0.0),
+                axis=1)
+    rows = jnp.arange(stage.obs.shape[0])
+    next_obs = stage.next_obs[rows, K - 1]
+    terminal = first_term < first_inval                 # ended by terminal
+    discount = gamma ** K.astype(stage.reward.dtype)
+    valid = stage.valid[:, 0] & (stage.fill >= n)
+    return (stage.obs[:, 0], stage.action[:, 0], R, next_obs, terminal,
+            discount, valid)
 
 
 class RainbowTrainState(NamedTuple):
@@ -44,6 +117,7 @@ class RainbowTrainState(NamedTuple):
     opt_state: optax.OptState
     replay: rb.Replay
     env: MergeEnvState
+    stage: NStepStage
     rng: jax.Array
     episodes: jax.Array
     frames: jax.Array
@@ -71,15 +145,21 @@ def make_train_state(cfg: Settings, world: WorldState, rng: jax.Array,
     replay = rb.init_replay(cfg.REPLAY_BUFFER_SIZE, cfg.obs_dim,
                             discrete=True)
     env = env_reset(world, cfg, wait_before_start=wait_before_start)
+    batch = world.ego_arc.shape[0]
     return RainbowTrainState(params=params, target_params=params,
                              opt_state=opt_state, replay=replay, env=env,
+                             stage=init_stage(batch, cfg.obs_dim),
                              rng=rng,
                              episodes=jnp.zeros((), jnp.int32),
                              frames=jnp.zeros((), jnp.int32))
 
 
-def _categorical_loss(params, target_params, batch, rng, cfg: Settings):
-    """C51 cross-entropy with the projected target distribution."""
+def _categorical_loss(params, target_params, batch, rng, cfg: Settings,
+                      weights=None):
+    """C51 cross-entropy with the projected target distribution.
+
+    ``batch["discount"]`` carries gamma^K for n-step transitions;
+    ``weights`` are the PER importance-sampling corrections."""
     net = _net(cfg)
     z = _support()
     k1, k2 = jax.random.split(rng)
@@ -93,10 +173,11 @@ def _categorical_loss(params, target_params, batch, rng, cfg: Settings):
     p_next = jnp.take_along_axis(
         probs_next, a_star[:, None, None], axis=1)[:, 0]   # (B, atoms)
 
-    # distributional Bellman projection
+    # distributional Bellman projection (n-step: R + gamma^K Z)
     not_term = 1.0 - batch["terminal"].astype(z.dtype)
+    disc = batch["discount"].astype(z.dtype)
     tz = jnp.clip(batch["reward"][:, None]
-                  + RAINBOW_DISCOUNT * not_term[:, None] * z[None, :],
+                  + disc[:, None] * not_term[:, None] * z[None, :],
                   V_MIN, V_MAX)
     dz = (V_MAX - V_MIN) / (NUM_ATOMS - 1)
     b = (tz - V_MIN) / dz
@@ -117,14 +198,16 @@ def _categorical_loss(params, target_params, batch, rng, cfg: Settings):
         logp_a = jnp.take_along_axis(
             logp, batch["action"][:, None, None], axis=1)[:, 0]
         ce = -jnp.sum(m * logp_a, axis=-1)
-        return jnp.mean(ce), ce
+        w = weights if weights is not None else jnp.ones_like(ce)
+        return jnp.mean(w * ce), ce
 
     return loss_fn
 
 
 def _grad_step(params, target_params, opt_state, batch, rng, lr,
-               cfg: Settings):
-    loss_fn = _categorical_loss(params, target_params, batch, rng, cfg)
+               cfg: Settings, weights=None):
+    loss_fn = _categorical_loss(params, target_params, batch, rng, cfg,
+                                weights=weights)
     (loss, ce), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     updates, opt_state = optax.adam(lr).update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -142,7 +225,7 @@ def train_round(state: RainbowTrainState, cfg: Settings, lr: float,
     init_pri = jnp.asarray(cfg.PER_MAX_PRIORITY ** cfg.PER_ALPHA)
 
     def collect(carry, _):
-        env, replay, rng, episodes, frames = carry
+        env, stage, replay, rng, episodes, frames = carry
         rng, k_noise = jax.random.split(rng)
         # NoisyNet exploration: noisy forward pass, greedy over E[Z]
         logits = net.apply(state.params, env.obs, rng=k_noise)
@@ -151,24 +234,34 @@ def train_round(state: RainbowTrainState, cfg: Settings, lr: float,
         env, tr = env_step(env, action, cfg, EnvKind.JERK,
                            max_episode_length=cfg.MAX_EPISODE_LENGTH,
                            wait_before_start=wait_before_start)
-        replay = rb.add_batch(replay, tr["obs"], tr["next_obs"],
-                              tr["action"], tr["reward"], tr["terminal"],
-                              tr["valid"], init_pri)
+        # n-step staging: push this tick, emit the window head
+        stage = stage_push(stage, tr)
+        obs0, act0, ret_n, next_n, term_n, disc_n, valid_n = nstep_head(
+            stage, RAINBOW_DISCOUNT)
+        replay = rb.add_batch(replay, obs0, next_n, act0, ret_n, term_n,
+                              valid_n, init_pri, discount=disc_n)
         episodes = episodes + jnp.sum(tr["done"]).astype(jnp.int32)
         frames = frames + jnp.sum(tr["valid"]).astype(jnp.int32)
-        return (env, replay, rng, episodes, frames), None
+        return (env, stage, replay, rng, episodes, frames), None
 
-    (env, replay, rng, episodes, frames), _ = jax.lax.scan(
-        collect, (state.env, state.replay, state.rng, state.episodes,
-                  state.frames), None, length=env_ticks)
+    (env, stage, replay, rng, episodes, frames), _ = jax.lax.scan(
+        collect, (state.env, state.stage, state.replay, state.rng,
+                  state.episodes, state.frames), None, length=env_ticks)
+
+    # PER importance-sampling anneal (Schaul et al.: beta -> 1)
+    beta = BETA_START + (1.0 - BETA_START) * jnp.minimum(
+        frames.astype(jnp.float32) / BETA_FRAMES, 1.0)
 
     def learn(carry, _):
         params, opt_state, replay, rng = carry
         rng, k_s, k_n = jax.random.split(rng, 3)
-        idx, batch = rb.sample(replay, k_s, RAINBOW_BATCH)
+        idx, batch, weights = rb.sample_with_weights(
+            replay, k_s, RAINBOW_BATCH, beta)
+        if not cfg.USE_PRIORITIZED_ER:
+            weights = None
         params, opt_state, loss, ce = _grad_step(
             params, opt_state=opt_state, batch=batch, rng=k_n, lr=lr,
-            cfg=cfg, target_params=state.target_params)
+            cfg=cfg, target_params=state.target_params, weights=weights)
         if cfg.USE_PRIORITIZED_ER:
             replay = rb.update_priorities(replay, idx, ce, cfg)
         return (params, opt_state, replay, rng), None
@@ -185,7 +278,7 @@ def train_round(state: RainbowTrainState, cfg: Settings, lr: float,
         lambda a: a, (state.params, state.opt_state, replay, rng))
 
     return state._replace(params=params, opt_state=opt_state,
-                          replay=replay, env=env, rng=rng,
+                          replay=replay, env=env, stage=stage, rng=rng,
                           episodes=episodes, frames=frames)
 
 
@@ -214,19 +307,31 @@ def greedy_controller(params, cfg: Settings):
 # task drivers (reference rainbow.py:85-106, main.py:21-31)
 # ---------------------------------------------------------------------------
 
-def _train_frames(cfg, state, num_frames, lr, verbose=True):
+def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None):
+    """Advance training to ``num_frames`` valid env frames, refreshing the
+    target network every TARGET_NET_FREEZE_PERIOD *episodes* (reference
+    dqn.py:278-280 — the trainer this pipeline mirrors refreshes on an
+    episode cadence, not a round cadence)."""
+    from .budget import frame_budget_rounds
     ticks_per_round = 200
     batch = state.env.obs.shape[0]
-    rounds = int(num_frames // (ticks_per_round * batch)) + 1
-    for r in range(rounds):
+    frames0 = int(state.frames)
+    last_refresh_bucket = int(state.episodes) // cfg.TARGET_NET_FREEZE_PERIOD
+    for r in frame_budget_rounds(num_frames, ticks_per_round * batch):
         state = train_round(state, cfg, lr, env_ticks=ticks_per_round)
-        if r % TARGET_PERIOD_ROUNDS == 0:
+        episodes = int(state.episodes)         # syncs; frame check needs it
+        bucket = episodes // cfg.TARGET_NET_FREEZE_PERIOD
+        if bucket != last_refresh_bucket:
             state = state._replace(target_params=state.params)
-        if verbose and r % 10 == 0:
-            state = jax.block_until_ready(state)
-            print(f"  round {r}/{rounds} frames={int(state.frames)} "
-                  f"episodes={int(state.episodes)}", flush=True)
-        if int(state.frames) >= num_frames:
+            last_refresh_bucket = bucket
+        frames = int(state.frames)
+        if r % 10 == 0 or frames - frames0 >= num_frames:
+            if verbose:
+                print(f"  round {r} frames={frames}/{int(num_frames)} "
+                      f"episodes={episodes}", flush=True)
+            if run is not None:
+                run.log_scalars(frames, {"episodes": episodes, "lr": lr})
+        if frames - frames0 >= num_frames:
             break
     return jax.block_until_ready(state)
 
@@ -236,24 +341,28 @@ def train(cfg: Settings, num_frames: float = 1e6, resume: bool = False,
     """``train_rainbow_all_with_lr_drop`` (reference rainbow.py:85-106)."""
     from .. import tasks
     from ..checkpoint import load_params, save_params
+    from ..rundir import setup_run_dir
 
+    run = setup_run_dir(cfg)
     worlds = tasks.make_worlds(cfg)
     rng = tasks.seed_key(cfg)
     init = load_params(cfg.MODEL_NAME)["q_dist"] if resume else None
     state = make_train_state(cfg, worlds, rng, lr=cfg.LEARNING_RATE,
                              init_params=init)
     state = _train_frames(cfg, state, num_frames, cfg.LEARNING_RATE,
-                          verbose)
-    save_params(f"runs/{cfg.LOG_DIR}", {"q_dist": state.params})
+                          verbose, run=run)
+    save_params(run.path, {"q_dist": state.params})
 
     if not resume:
         lr2 = cfg.LEARNING_RATE / 10.0
         cfg2 = cfg.replace(LOG_DIR=cfg.LOG_DIR + "_extended")
+        run2 = setup_run_dir(cfg2, snapshot_src=False)
         state2 = make_train_state(cfg2, tasks.make_worlds(cfg2),
                                   jax.random.split(rng)[0], lr=lr2,
                                   init_params=state.params)
-        state2 = _train_frames(cfg2, state2, num_frames, lr2, verbose)
-        save_params(f"runs/{cfg2.LOG_DIR}", {"q_dist": state2.params})
+        state2 = _train_frames(cfg2, state2, num_frames, lr2, verbose,
+                               run=run2)
+        save_params(run2.path, {"q_dist": state2.params})
         state = state2
 
     evaluate(cfg, params=state.params)
@@ -269,5 +378,6 @@ def evaluate(cfg: Settings, params=None, verbose: bool = True):
     agg = tasks.evaluate_controller(cfg, controller, verbose=verbose)
     if verbose:
         agg.print_stats()
+    agg.save_plots(f"runs/{cfg.LOG_DIR}")
     agg.add_csv_data()
     return agg

@@ -48,6 +48,7 @@ class QPOperator(NamedTuple):
     a: np.ndarray          # (m, n) row-scaled constraint operator
     solve: np.ndarray      # (n, n) = (2I + rho * A^T A)^{-1}
     row_scale: np.ndarray  # (m,) applied to bounds
+    a_row_sums: np.ndarray  # (m,) A @ 1, for recentering the solve at s0
     rho: float
     n: int
     delta_t: float
@@ -91,12 +92,20 @@ def build_operator(n: int, delta_t: float, rho: float = 20.0) -> QPOperator:
     r = np.zeros(n)
     r[0] = 1.0                      # start pin
     rows.append(r)
+    # position rows (identity): corridor constraints against the lead /
+    # trail cars (reference st.py:672-705 C_7 rows); bounds default to
+    # +-inf so the rows are inert unless a corridor is supplied
+    for i in range(n):
+        r = np.zeros(n)
+        r[i] = 1.0
+        rows.append(r)
     a_raw = np.stack(rows)
 
     row_scale = 1.0 / np.linalg.norm(a_raw, axis=1)
     a = a_raw * row_scale[:, None]
     solve = np.linalg.inv(2.0 * np.eye(n) + rho * (a.T @ a))
-    return QPOperator(a=a, solve=solve, row_scale=row_scale, rho=rho, n=n,
+    return QPOperator(a=a, solve=solve, row_scale=row_scale,
+                      a_row_sums=a.sum(axis=1), rho=rho, n=n,
                       delta_t=dt, coarse_delta_t=0.0)
 
 
@@ -118,7 +127,7 @@ def finer_fit_qp(coarse_seq, valid_len, start_speed, start_acceleration,
                  op: QPOperator, coarse_delta_t: float,
                  max_speed: float, pos_accel: float, neg_accel: float,
                  pos_jerk: float, neg_jerk: float,
-                 iterations: int = 100):
+                 iterations: int = 100, pos_lo=None, pos_hi=None):
     """Smooth a coarse DP path onto the fine tick grid (one scenario).
 
     Args:
@@ -169,8 +178,19 @@ def finer_fit_qp(coarse_seq, valid_len, start_speed, start_acceleration,
     j_hi = jnp.where(live, j_hi, _BIG)
 
     s0 = coarse_seq[0]
-    lo = jnp.concatenate([v_lo, a_lo, j_lo, s0[None]])
-    hi = jnp.concatenate([v_hi, a_hi, j_hi, s0[None]])
+    # corridor rows: per-step position box (reference st.py:672-705); the
+    # start point is pinned anyway, so relax its corridor row
+    p_lo = jnp.full(n, -_BIG, dtype) if pos_lo is None \
+        else jnp.asarray(pos_lo, dtype)
+    p_hi = jnp.full(n, _BIG, dtype) if pos_hi is None \
+        else jnp.asarray(pos_hi, dtype)
+    p_lo = p_lo.at[0].set(-_BIG)
+    p_hi = p_hi.at[0].set(_BIG)
+    live_pos = jnp.arange(n) <= fine_len - 1
+    p_lo = jnp.where(live_pos, p_lo, -_BIG)
+    p_hi = jnp.where(live_pos, p_hi, _BIG)
+    lo = jnp.concatenate([v_lo, a_lo, j_lo, s0[None], p_lo])
+    hi = jnp.concatenate([v_hi, a_hi, j_hi, s0[None], p_hi])
 
     scale = jnp.asarray(op.row_scale, dtype)
     lo = lo * scale
@@ -181,17 +201,31 @@ def finer_fit_qp(coarse_seq, valid_len, start_speed, start_acceleration,
 
     alpha = jnp.asarray(1.6, dtype)  # over-relaxation
 
+    # Recenter on the start point: the iterates carry |x| ~ 1e-1..1e1
+    # instead of the absolute s coordinate (~1e2), and every matmul is
+    # pinned to f32 MXU passes.  Under vmap the matvecs below become real
+    # (B, m) x (m, n) matmuls, which XLA would otherwise run in bf16 —
+    # centimeter-scale s increments fall below bf16 resolution at |s|~1e2
+    # and the ADMM converges to garbage (the round-1 jerk gap, and the
+    # broken batched evals, both traced back to exactly this).
+    hp = jax.lax.Precision.HIGHEST
+    mm = functools.partial(jnp.matmul, precision=hp)
+    shift_rows = jnp.asarray(op.a_row_sums, dtype) * s0    # A @ (s0 * 1)
+    b_c = b - s0
+    lo_c = lo - shift_rows
+    hi_c = hi - shift_rows
+
     def body(carry, _):
         x, z, u = carry
-        rhs = 2.0 * b + rho * ((z - u) @ a_mat)
-        x = rhs @ solve.T
-        ax = alpha * (x @ a_mat.T) + (1.0 - alpha) * z
-        z = jnp.clip(ax + u, lo, hi)
+        rhs = 2.0 * b_c + rho * mm(z - u, a_mat)
+        x = mm(rhs, solve.T)
+        ax = alpha * mm(x, a_mat.T) + (1.0 - alpha) * z
+        z = jnp.clip(ax + u, lo_c, hi_c)
         u = u + ax - z
         return (x, z, u), None
 
-    x0 = b
-    z0 = jnp.clip(x0 @ a_mat.T, lo, hi)
+    x0 = b_c
+    z0 = jnp.clip(mm(x0, a_mat.T), lo_c, hi_c)
     u0 = jnp.zeros_like(z0)
     (x, _, _), _ = jax.lax.scan(body, (x0, z0, u0), None, length=iterations)
-    return x, fine_len
+    return x + s0, fine_len

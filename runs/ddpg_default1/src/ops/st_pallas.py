@@ -253,29 +253,29 @@ def make_pallas_solver(cfg_delta_t: float, cfg_delta_s: float,
             grid=(b // LANE_TILE, grid_t),
             in_specs=[
                 pl.BlockSpec((8, LANE_TILE), lambda i, t: (0, i),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.MemorySpace.VMEM),
                 pl.BlockSpec((8, LANE_TILE), lambda i, t: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # pen stays in HBM
+                             memory_space=pltpu.MemorySpace.VMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # pen in HBM
             ],
             out_specs=(
                 pl.BlockSpec((1, s_pad, LANE_TILE),
                              lambda i, t: (t + 1, 0, i),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.MemorySpace.VMEM),
                 pl.BlockSpec((1, 8, LANE_TILE), lambda i, t: (t + 1, 0, i),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.MemorySpace.VMEM),
                 pl.BlockSpec((1, 8, LANE_TILE), lambda i, t: (t + 1, 0, i),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.MemorySpace.VMEM),
             ),
             out_shape=out_shapes,
             scratch_shapes=[
-                pltpu.VMEM((rows, LANE_TILE), jnp.float32),   # V
-                pltpu.VMEM((rows, LANE_TILE), jnp.float32),   # U
-                pltpu.VMEM((rows, LANE_TILE), jnp.float32),   # beta
-                pltpu.VMEM((rows, LANE_TILE), jnp.float32),   # feas code
-                pltpu.VMEM((s_pad, LANE_TILE), jnp.float32),  # best
-                pltpu.VMEM((s_pad, LANE_TILE), jnp.float32),  # usel
-                pltpu.VMEM((s_pad, LANE_TILE), jnp.float32),  # pen row
+                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # V
+                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # U
+                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # beta
+                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # feas code
+                pltpu.MemorySpace.VMEM((s_pad, LANE_TILE), jnp.float32),  # best
+                pltpu.MemorySpace.VMEM((s_pad, LANE_TILE), jnp.float32),  # usel
+                pltpu.MemorySpace.VMEM((s_pad, LANE_TILE), jnp.float32),  # pen row
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(

@@ -65,6 +65,7 @@ class EpisodeStats(NamedTuple):
     bin_counts: jax.Array        # (B, NUM_BINS)
     bin_jerk: jax.Array          # (B, NUM_BINS)
     bin_speed: jax.Array         # (B, NUM_BINS)
+    bin_aux: jax.Array           # (B, NUM_BINS) controller flag per x-bin
     start_speed: jax.Array
     aux_sum: jax.Array           # (B,) controller-provided flag accumulator
 
@@ -81,6 +82,7 @@ def _zero_stats(batch: int, dtype) -> EpisodeStats:
         bin_counts=jnp.zeros((batch, NUM_BINS), dtype),
         bin_jerk=jnp.zeros((batch, NUM_BINS), dtype),
         bin_speed=jnp.zeros((batch, NUM_BINS), dtype),
+        bin_aux=jnp.zeros((batch, NUM_BINS), dtype),
         start_speed=z, aux_sum=z)
 
 
@@ -164,19 +166,31 @@ def _tick_metrics(stats: EpisodeStats, state: HighwayState, prev_accel,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "controller", "max_episode_length",
-                                    "wait_before_start", "limit_metrics"))
+                                    "wait_before_start", "limit_metrics",
+                                    "record_history"))
 def run_episode_batch(world: WorldState, cfg: Settings,
                       controller: Controller,
                       max_episode_length: float = 100.0,
                       wait_before_start: float = 50.0,
-                      limit_metrics: bool = False):
+                      limit_metrics: bool = False,
+                      record_history: bool = False,
+                      controller_carry=None):
     """One full episode for every scenario in the batch.
 
     ``world`` is a batched WorldState pytree (leading axis B).  Returns
-    (world_after, EpisodeStats).  The loop runs until every scenario has
+    (world_after, EpisodeStats) — plus a per-tick ``HighwayState`` history
+    pytree of shape (B, max_ticks+1, ...) when ``record_history`` (the
+    crash-forensics capture; reference control.py:280-281 state_history +
+    stats.py:75-77 crash pickling).  The loop runs until every scenario has
     terminated (arrival / collision / tick budget), scenarios that finish
     early are frozen — identical semantics to running the reference's
     sequential episodes B times.
+
+    ``controller_carry``: optional batched pytree of per-scenario
+    controller state; when given, ``controller`` is called as
+    ``controller(state, carry) -> (out, carry)`` and the carry persists
+    across ticks AND episodes within the round (like the reference's
+    ``takeover_history``, dqn.py:126-127, which is never reset).
     """
     batch = world.ego_arc.shape[0]
     dtype = world.ego_arc.dtype
@@ -196,13 +210,20 @@ def run_episode_batch(world: WorldState, cfg: Settings,
     stats0 = _zero_stats(batch, dtype)._replace(start_speed=start_speeds)
     prev_accel0 = jnp.zeros((batch,), dtype)
     done0 = jnp.zeros((batch,), bool)
+    state0 = sense_batch(world, cfg)
+    if record_history:
+        hist0 = jax.tree.map(
+            lambda x: jnp.zeros((batch, max_ticks + 1) + x.shape[1:],
+                                x.dtype), state0)
+    else:
+        hist0 = None
 
     def cond(carry):
-        w, stats, prev_a, done, tick = carry
+        w, stats, prev_a, done, tick, hist, c_carry = carry
         return (~jnp.all(done)) & (tick <= max_ticks)
 
     def body(carry):
-        w, stats, prev_a, done, tick = carry
+        w, stats, prev_a, done, tick, hist, c_carry = carry
 
         arrived = w.ego_arrived & ~done
         collided = w.ego_collided & ~done
@@ -214,6 +235,11 @@ def run_episode_batch(world: WorldState, cfg: Settings,
         active = ~done
 
         state = sense_batch(w, cfg)
+        if record_history:
+            idx = jnp.where(active, stats.ticks, max_ticks)  # scratch row
+            rows = jnp.arange(batch)
+            hist = jax.tree.map(
+                lambda h, s: h.at[rows, idx].set(s), hist, state)
         if not limit_metrics:
             stats = _tick_metrics(stats, state, prev_a, active, cfg)
         else:
@@ -221,12 +247,20 @@ def run_episode_batch(world: WorldState, cfg: Settings,
                 ticks=stats.ticks + active.astype(jnp.int32))
         prev_a = jnp.where(active, state.ego_accel.astype(dtype), prev_a)
 
-        out = controller(state)
+        if controller_carry is not None:
+            out, c_carry = controller(state, c_carry)
+        else:
+            out = controller(state)
         if isinstance(out, tuple):
             speed_cmd, aux = out
+            aux_on = jnp.where(active, aux.astype(dtype), 0.0)
+            # ST-takeover flag per x-bin (the reference's takeover-vs-x
+            # histogram, dqn.py:215-226 plot_st_proportion)
+            bi = _bin_index(state.ego_x.astype(dtype))
             stats = stats._replace(
-                aux_sum=stats.aux_sum
-                + jnp.where(active, aux.astype(dtype), 0.0))
+                aux_sum=stats.aux_sum + aux_on,
+                bin_aux=stats.bin_aux.at[
+                    jnp.arange(batch), bi].add(aux_on))
         else:
             speed_cmd = out
         speed_cmd = speed_cmd.astype(dtype)
@@ -235,17 +269,22 @@ def run_episode_batch(world: WorldState, cfg: Settings,
         w_next = jax.vmap(lambda ww, c: world_step(ww, c, cfg))(w, speed_cmd)
         w = jax.tree.map(
             lambda new, old: _mask_select(active, new, old), w_next, w)
-        return (w, stats, prev_a, done, tick + 1)
+        return (w, stats, prev_a, done, tick + 1, hist, c_carry)
 
-    carry = (world, stats0, prev_accel0, done0, jnp.asarray(1, jnp.int32))
-    w, stats, prev_a, done, tick = jax.lax.while_loop(cond, body, carry)
+    carry = (world, stats0, prev_accel0, done0, jnp.asarray(1, jnp.int32),
+             hist0, controller_carry)
+    w, stats, prev_a, done, tick, hist, c_carry = jax.lax.while_loop(
+        cond, body, carry)
 
     # tick-budget overrun: remove ego, not merged, not crashed
     # (control.py:312-316)
     overran = ~done
     w = jax.vmap(lambda ww, o: jax.tree.map(
         lambda a, b: jnp.where(o, a, b), remove_ego(ww), ww))(w, overran)
-    return w, stats
+    out = (w, stats, hist) if record_history else (w, stats)
+    if controller_carry is not None:
+        out = out + (c_carry,)
+    return out
 
 
 def _mask_select(mask, new, old):

@@ -40,9 +40,48 @@ from ..config import Settings
 from ..prediction import HighwayState, EGO_CRASH_THRESHOLD
 
 __all__ = ["WorldState", "init_world", "world_step", "sense", "add_ego",
-           "remove_ego"]
+           "remove_ego", "IDM_TYPE_TABLE", "IDM_TYPE_PROBS",
+           "alternate_flow_probability"]
 
 _INACTIVE_X = -1e9
+CAR_WIDTH = 1.8   # SUMO default vehicle width; no vType overrides it
+
+# ---------------------------------------------------------------------------
+# Alternate traffic distribution: the 6-personality IDM vType mix of
+# merge2{,b,c}.rou.xml (reference sumo.py:36-46 selects the file by
+# TRAFFIC_DENSITY; the files differ only in flow insertion probability).
+# Columns: accel a, decel b, minGap s0, headway tau, speedFactor mean,
+# speedFactor dev, speedFactor min, speedFactor max, vType maxSpeed,
+# emergencyDecel.  Rows: aggressive, cautious, slowbrake, slow, reallyslow,
+# normal (merge2.rou.xml vTypeDistribution).
+# ---------------------------------------------------------------------------
+import numpy as _np_mod
+
+IDM_TYPE_TABLE = _np_mod.asarray([
+    # a     b    s0   tau  sfm   sfd  sfmin sfmax vmax  emerg
+    [4.5,  6.0,  2.0, 0.5, 1.30, 0.1, 0.2,  2.0,  40.0, 9.0],   # aggressive
+    [4.5,  6.0,  7.5, 1.5, 0.90, 0.1, 0.2,  2.0,  40.0, 9.0],   # cautious
+    [1.5,  2.0,  2.5, 1.0, 1.00, 0.1, 0.2,  2.0,  40.0, 3.0],   # slowbrake
+    [3.0,  4.5,  2.5, 1.0, 0.50, 0.1, 0.2,  2.0,  20.0, 6.0],   # slow
+    [3.0,  4.5,  2.5, 1.0, 0.25, 0.1, 0.15, 2.0,  10.0, 6.0],   # reallyslow
+    [4.5,  6.0,  2.5, 1.0, 1.00, 0.1, 0.2,  2.0,  40.0, 9.0],   # normal
+], dtype=_np_mod.float64)
+IDM_TYPE_PROBS = _np_mod.asarray([0.2, 0.1, 0.1, 0.08, 0.02, 0.5])
+_SPEED_LIMIT = 30.0          # every lane in merge.net.xml is speed="30.00"
+_IDM_DELTA = 4.0
+_CAUTIOUS_IDX = 1
+
+
+def alternate_flow_probability(cfg: Settings) -> float:
+    """Per-tick insertion probability of the alternate flow (reference
+    sumo.py:36-44: low -> merge2.rou.xml p=0.3, medium -> merge2b p=0.45,
+    high -> merge2c p=0.6)."""
+    table = {"low": 0.3, "medium": 0.45, "high": 0.6}
+    try:
+        return table[cfg.TRAFFIC_DENSITY]
+    except KeyError:
+        raise ValueError(
+            f"Unknown TRAFFIC_DENSITY: {cfg.TRAFFIC_DENSITY}")
 
 
 class WorldState(NamedTuple):
@@ -52,6 +91,7 @@ class WorldState(NamedTuple):
     cars_v: jax.Array        # (N,)
     cars_prev_v: jax.Array   # (N,) for accel sensing
     cars_active: jax.Array   # (N,) bool
+    cars_params: jax.Array   # (N, 6) IDM params [a, b, s0, tau, v0, emerg]
     ego_active: jax.Array    # () bool
     ego_arc: jax.Array       # () route arc position
     ego_v: jax.Array         # ()
@@ -70,6 +110,7 @@ def init_world(rng, cfg: Settings, dtype=jnp.float32) -> WorldState:
         cars_v=jnp.zeros((n,), dtype),
         cars_prev_v=jnp.zeros((n,), dtype),
         cars_active=jnp.zeros((n,), bool),
+        cars_params=jnp.zeros((n, 6), dtype),
         ego_active=jnp.asarray(False),
         ego_arc=z, ego_v=z, ego_prev_v=z,
         spawn_delay=z,
@@ -100,6 +141,26 @@ def _krauss_next_speed(v, gap, leader_v, cfg: Settings, dtype):
     return jnp.maximum(jnp.maximum(v_des, v - b * dt), 0.0)
 
 
+def _idm_next_speed(v, net_gap, leader_v, has_leader, params, dt, dtype):
+    """IDM follower for the alternate traffic personalities
+    (merge2.rou.xml carFollowModel="IDM"; standard IDM with delta=4,
+    braking capped at the vType's emergencyDecel)."""
+    a = params[:, 0]
+    b = params[:, 1]
+    s0 = params[:, 2]
+    tau = params[:, 3]
+    v0 = jnp.maximum(params[:, 4], 0.1)
+    emerg = params[:, 5]
+    dv = v - leader_v
+    s_star = s0 + jnp.maximum(v * tau + v * dv / (2.0 * jnp.sqrt(a * b)),
+                              0.0)
+    gap = jnp.maximum(net_gap, 0.1)
+    interaction = jnp.where(has_leader, (s_star / gap) ** 2, 0.0)
+    acc = a * (1.0 - (v / v0) ** _IDM_DELTA - interaction)
+    acc = jnp.maximum(acc, -emerg)
+    return jnp.maximum(v + acc * dt, 0.0)
+
+
 def world_step(world: WorldState, ego_speed_command, cfg: Settings
                ) -> WorldState:
     """One simulation tick (reference control.py:215-226 ``step`` +
@@ -117,10 +178,10 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
     # SUMO junction semantics: once the ego has entered the junction's
     # internal merge lane it occupies the conflict area, and highway cars
     # (despite holding the major link, merge.net.xml request "00") brake
-    # for the vehicle physically on their path.  The forecaster models
-    # yielding only past s>8 (prediction.py:11), but the *simulator* must
-    # block from the junction entry or a committed ego could never force
-    # its way into a dense stream the way SUMO's does.
+    # for the vehicle mapped onto their path — the reference's own
+    # disruption record confirms strong yielding (st_default row 18:
+    # mean_disruption 0.288, max 6.64, disruption_time 1.36 s; an
+    # s>8-threshold yield reproduces almost none of it, mean 0.006).
     ego_on_highway = world.ego_active \
         & (world.ego_arc > geometry.EGO_JUNCTION_ARC)
 
@@ -134,17 +195,56 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
     has_leader = jnp.isfinite(jnp.min(cand_x, axis=1))
     leader_x = jnp.where(has_leader, x[leader_idx], jnp.inf)
     leader_v = jnp.where(has_leader, world.cars_v[leader_idx], 0.0)
-    # merged ego splices in if it is the nearest vehicle ahead
-    ego_between = ego_on_highway & (ego_x > x) & (ego_x < leader_x)
+    # merged ego splices in if it is the nearest vehicle ahead — AND the
+    # follower can actually yield within its braking rating.  SUMO's
+    # junction model is gap-acceptance from the major link's side too: a
+    # priority vehicle brakes for the merging foe only when stopping
+    # behind it is kinematically comfortable; a car already too close /
+    # too fast asserts priority and sails past at speed (which is why the
+    # reference's waiting ego watches full-speed passes, and why its
+    # recorded max follower disruption stays near the 6 m/s^2 decel
+    # rating instead of unphysical instant stops).
+    b_cap = -cfg.MAX_NEGATIVE_ACCELERATION
+    gap_e = ego_x - cfg.CAR_LENGTH - x - 1.0          # bumper gap + minGap
+    rel_brake = jnp.maximum(world.cars_v ** 2 - world.ego_v ** 2, 0.0) \
+        / (2.0 * b_cap)
+    can_yield = (gap_e >= 0.0) & (gap_e >= rel_brake)
+    ego_between = ego_on_highway & can_yield \
+        & (ego_x > x) & (ego_x < leader_x)
     leader_x = jnp.where(ego_between, ego_x, leader_x)
     leader_v = jnp.where(ego_between, world.ego_v, leader_v)
 
-    gap = leader_x - cfg.CAR_LENGTH - x - 1.0   # minGap=1 (rou.xml)
-    new_cars_v = jnp.where(
-        active,
-        _krauss_next_speed(world.cars_v, gap, leader_v, cfg, dtype),
-        0.0)
+    if cfg.USE_ALTERNATE_TRAFFIC_DISTRIBUTION:
+        net_gap = leader_x - cfg.CAR_LENGTH - x      # bumper-to-bumper
+        has_lead = jnp.isfinite(leader_x)
+        new_cars_v = jnp.where(
+            active,
+            _idm_next_speed(world.cars_v, net_gap, leader_v, has_lead,
+                            world.cars_params, dt, dtype),
+            0.0)
+    else:
+        gap = leader_x - cfg.CAR_LENGTH - x - 1.0   # minGap=1 (rou.xml)
+        new_cars_v = jnp.where(
+            active,
+            _krauss_next_speed(world.cars_v, gap, leader_v, cfg, dtype),
+            0.0)
     new_cars_x = jnp.where(active, x + new_cars_v * dt, x)
+    # A SUMO follower never passes its leader: a car that yielded to the
+    # spliced ego queues behind it rather than creeping past at low
+    # speed.  Round-2 lacked this clamp; a follower could inch past a
+    # near-stopped ego waiting at the merge, after which the ego pulled
+    # out immediately behind it and overtook it again into a grazing
+    # side-swipe at the lateral-overlap onset — the entire residual
+    # st_default crash rate (dumps r0_0..r3_1).  With the can_yield gate
+    # above, every yielding car can comply within the decel rating, so
+    # the clamp is a numerical backstop (discrete-step overshoot), never
+    # an unphysical instant stop.
+    x_floor = x + jnp.maximum(world.cars_v - b_cap * dt, 0.0) * dt
+    ego_block = ego_x - cfg.CAR_LENGTH
+    blocked = ego_between & (new_cars_x > ego_block)
+    clamped_x = jnp.maximum(jnp.minimum(new_cars_x, ego_block), x_floor)
+    new_cars_x = jnp.where(blocked, clamped_x, new_cars_x)
+    new_cars_v = jnp.where(blocked, (new_cars_x - x) / dt, new_cars_v)
 
     # --- ego: speedMode 22 -> accel/decel limited toward the command ---
     cmd = jnp.asarray(ego_speed_command, dtype)
@@ -161,24 +261,73 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
     arrived_now = world.ego_active & (new_ego_arc >= geometry.EGO_ARRIVAL_ARC)
 
     # --- collision (post-move positions, SUMO checks after the step) ---
+    # SUMO's junction collision check intersects vehicle *shapes*
+    # (collision.check-junctions, ramp.sumocfg): two 1.8 m-wide vehicles
+    # (the default width; neither vType overrides it) touch only when
+    # their lateral centers are within 1.8 m.  The merging ego converges
+    # from the ramp onto the highway lane (y = -1.5) and reaches lateral
+    # overlap only past s ~ 24 — pure x-overlap while still laterally
+    # offset on the ramp (s in 11..23) is NOT a SUMO collision, and
+    # counting it produced phantom "side-swipe" crashes the planner could
+    # never see (cars below CRASH_MIN_S - MIN_ALLOWED_DISTANCE don't
+    # obstruct the grid, st.py:46-47).  The s > 11 gate mirrors the
+    # forecaster's own ego_crash_threshold (prediction.py:12).
     new_ego_x, new_ego_y = geometry.route_xy(new_ego_arc)
     new_ego_s = geometry.get_ego_s(new_ego_x, new_ego_y)
+    lateral_overlap = jnp.abs(new_ego_y - geometry.HIGHWAY_Y) < CAR_WIDTH
     overlap = new_active & (jnp.abs(new_cars_x - new_ego_x) < cfg.CAR_LENGTH)
     collided_now = world.ego_active & ~arrived_now \
-        & (new_ego_s > EGO_CRASH_THRESHOLD) & jnp.any(overlap)
+        & (new_ego_s > EGO_CRASH_THRESHOLD) & lateral_overlap \
+        & jnp.any(overlap)
 
-    # --- spawner (control.py:218-226) ---
-    rng, k_vary = jax.random.split(world.rng)
-    do_spawn = world.spawn_delay <= 0.0
+    # --- spawner ---
+    rng, k_vary, k_type, k_sf, k_dep = jax.random.split(world.rng, 5)
     free = ~new_active
     slot = jnp.argmax(free)
-    can_spawn = do_spawn & jnp.any(free)
     # insertion safety: rearmost car must leave room at the entry point
     # (SUMO delays unsafe insertions; with >=1.2 s headways this is rare)
     entry_gap = jnp.min(jnp.where(new_active, new_cars_x, jnp.inf)) \
-        - geometry.TRAFFIC_SPAWN_X - cfg.CAR_LENGTH - 1.0
-    can_spawn = can_spawn & (entry_gap > 0.0)
-    spawn_v = jnp.asarray(cfg.OTHER_CAR_SPEED, dtype)
+        - geometry.TRAFFIC_SPAWN_X - cfg.CAR_LENGTH
+
+    if cfg.USE_ALTERNATE_TRAFFIC_DISTRIBUTION:
+        # alternate flow: Bernoulli insertion at the route file's
+        # probability each tick, vType sampled from the 6-personality
+        # distribution (merge2.rou.xml flow probability + vTypeDistribution)
+        p_flow = alternate_flow_probability(cfg)
+        do_spawn = jax.random.uniform(k_vary, dtype=dtype) < p_flow
+        type_idx = jax.random.choice(
+            k_type, IDM_TYPE_PROBS.shape[0],
+            p=jnp.asarray(IDM_TYPE_PROBS, dtype))
+        row = jnp.asarray(IDM_TYPE_TABLE, dtype)[type_idx]
+        # speedFactor ~ normc(mean, dev, min, max); SUMO resamples outside
+        # the bounds, we clip — within ~2 sigma the difference is tiny
+        sf = jnp.clip(row[4] + row[5] * jax.random.normal(k_sf, dtype=dtype),
+                      row[6], row[7])
+        v_desired = jnp.minimum(sf * _SPEED_LIMIT, row[8])
+        params_new = jnp.stack([row[0], row[1], row[2], row[3],
+                                v_desired, row[9]])
+        # flow departSpeed=10 clamped to the type's desired speed; the
+        # cautious personality departs at departSpeed="random"
+        spawn_v = jnp.where(
+            type_idx == _CAUTIOUS_IDX,
+            jax.random.uniform(k_dep, dtype=dtype) * v_desired,
+            jnp.minimum(jnp.asarray(10.0, dtype), v_desired))
+        can_spawn = do_spawn & jnp.any(free) & (entry_gap > row[2])
+        new_delay = world.spawn_delay            # unused by this flow
+    else:
+        do_spawn = world.spawn_delay <= 0.0
+        can_spawn = do_spawn & jnp.any(free) & (entry_gap > 1.0)
+        spawn_v = jnp.asarray(cfg.OTHER_CAR_SPEED, dtype)
+        params_new = jnp.zeros((6,), dtype)
+        vary = jax.random.uniform(k_vary, dtype=dtype) \
+            if cfg.VARY_TRAFFIC_START_TIMES else jnp.zeros((), dtype)
+        interval = vary + cfg.BASE_TRAFFIC_INTERVAL
+        new_delay = jnp.where(do_spawn & can_spawn,
+                              interval, world.spawn_delay)
+        # an unsafe insertion retries next tick (delay stays <= 0)
+        new_delay = jnp.where(do_spawn & ~can_spawn, world.spawn_delay,
+                              new_delay) - dt
+
     new_cars_x = jnp.where(can_spawn,
                            new_cars_x.at[slot].set(geometry.TRAFFIC_SPAWN_X),
                            new_cars_x)
@@ -186,20 +335,15 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
                              new_cars_v)
     prev_v = jnp.where(can_spawn,
                        world.cars_v.at[slot].set(spawn_v), world.cars_v)
+    new_params = jnp.where(can_spawn,
+                           world.cars_params.at[slot].set(params_new),
+                           world.cars_params)
     new_active = jnp.where(can_spawn, new_active.at[slot].set(True),
                            new_active)
-    vary = jax.random.uniform(k_vary, dtype=dtype) \
-        if cfg.VARY_TRAFFIC_START_TIMES else jnp.zeros((), dtype)
-    interval = vary + cfg.BASE_TRAFFIC_INTERVAL
-    new_delay = jnp.where(do_spawn & can_spawn,
-                          interval, world.spawn_delay)
-    # an unsafe insertion retries next tick (delay stays <= 0)
-    new_delay = jnp.where(do_spawn & ~can_spawn, world.spawn_delay,
-                          new_delay) - dt
 
     return WorldState(
         cars_x=new_cars_x, cars_v=new_cars_v_s, cars_prev_v=prev_v,
-        cars_active=new_active,
+        cars_active=new_active, cars_params=new_params,
         ego_active=world.ego_active & ~arrived_now & ~collided_now,
         ego_arc=new_ego_arc, ego_v=new_ego_v, ego_prev_v=world.ego_v,
         spawn_delay=new_delay,

@@ -51,6 +51,7 @@ class StatsAggregator:
         self.bin_counts = np.zeros(len(BIN_EDGES) - 1)
         self.bin_jerk = np.zeros(len(BIN_EDGES) - 1)
         self.bin_speed = np.zeros(len(BIN_EDGES) - 1)
+        self.bin_aux = np.zeros(len(BIN_EDGES) - 1)
         self.episodes = 0
 
     def add_batch(self, stats: EpisodeStats,
@@ -109,6 +110,7 @@ class StatsAggregator:
         self.bin_counts += s["bin_counts"].sum(axis=0)
         self.bin_jerk += s["bin_jerk"].sum(axis=0)
         self.bin_speed += s["bin_speed"].sum(axis=0)
+        self.bin_aux += s["bin_aux"].sum(axis=0)
         self.episodes += b
 
         if custom:
@@ -143,6 +145,42 @@ class StatsAggregator:
             logger.info(message)
             print(message)
 
+    def save_plots(self, run_dir: str) -> list:
+        """Matplotlib artifacts: x-binned mean |jerk| and speed bars
+        (reference stats.py:124-133) and, when a combined controller ran,
+        the ST-takeover proportion vs x (reference dqn.py:215-226
+        ``plot_st_proportion``)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:                       # pragma: no cover
+            logger.warning("matplotlib unavailable; skipping stat plots")
+            return []
+        os.makedirs(run_dir, exist_ok=True)
+        centers = (BIN_EDGES[:-1] + BIN_EDGES[1:]) / 2.0
+        counts = np.maximum(self.bin_counts, 1)
+        written = []
+
+        def bar(values, title, fname):
+            fig, ax = plt.subplots(figsize=(7, 4))
+            ax.bar(centers, values, width=18.0)
+            ax.set_xlabel("x position (m)")
+            ax.set_title(title)
+            path = os.path.join(run_dir, fname)
+            fig.savefig(path, dpi=100)
+            plt.close(fig)
+            written.append(path)
+
+        bar(self.bin_jerk / counts, "Mean |jerk| per x segment",
+            "jerk_by_x.png")
+        bar(self.bin_speed / counts, "Mean speed per x segment",
+            "speed_by_x.png")
+        if self.bin_aux.sum() > 0:
+            bar(self.bin_aux / counts, "ST-takeover proportion per x",
+                "st_proportion_by_x.png")
+        return written
+
     # ------------------------------------------------------------------
     def get_stat_report_row_dict(self) -> dict:
         """CSV row: metrics + _std columns + scalar settings + signatures
@@ -174,12 +212,50 @@ class StatsAggregator:
         return columns
 
     def add_csv_data(self, path: str = "run_data.csv") -> None:
-        """Append one row to the experiment database (stats.py:192-199)."""
-        import pandas as pd
-        if os.path.exists(path):
-            dataframe = pd.read_csv(path)
-        else:
-            dataframe = pd.DataFrame()
-        new_row = pd.DataFrame([self.get_stat_report_row_dict()])
-        combined = pd.concat([dataframe, new_row], ignore_index=True)
-        combined.to_csv(path, index=False)
+        """Append one row to the experiment database (stats.py:192-199).
+
+        Strictly append-only: existing rows are never re-parsed or
+        re-formatted (the old pandas read/concat/rewrite churned float
+        formatting of prior results on every append).  New metric columns
+        extend the header and pad existing lines with empty trailing
+        fields, byte-identical otherwise; floats are written with repr()
+        (shortest round-trip form) for a stable format.
+        """
+        import csv
+        import io
+
+        row = self.get_stat_report_row_dict()
+
+        def fmt(v):
+            if v is None:
+                return ""
+            if isinstance(v, float):
+                return repr(v)
+            if isinstance(v, (np.floating,)):
+                return repr(float(v))
+            return str(v)
+
+        if not os.path.exists(path):
+            header = list(row)
+            with open(path, "w", newline="") as fh:
+                w = csv.writer(fh)
+                w.writerow(header)
+                w.writerow([fmt(row.get(k)) for k in header])
+            return
+
+        with open(path, "r", newline="") as fh:
+            lines = fh.read().splitlines()
+        header = next(csv.reader(io.StringIO(lines[0])))
+        new_cols = [k for k in row if k not in header]
+        if new_cols:
+            header = header + new_cols
+            buf = io.StringIO()
+            csv.writer(buf).writerow(new_cols)
+            lines[0] = lines[0] + "," + buf.getvalue().rstrip("\r\n")
+            pad = "," * len(new_cols)
+            lines[1:] = [ln + pad for ln in lines[1:]]
+        buf = io.StringIO()
+        csv.writer(buf).writerow([fmt(row.get(k)) for k in header])
+        lines.append(buf.getvalue().rstrip("\r\n"))
+        with open(path, "w", newline="") as fh:
+            fh.write("\n".join(lines) + "\n")

@@ -1,0 +1,110 @@
+#!/bin/bash
+# Round-3 queue, part C: policy-semantics reconciliation.
+#
+# The r3 sim fixes (lateral-overlap collisions, SUMO-faithful yielding)
+# changed the environment dynamics; policies trained under the r2 sim
+# crash ~30% under the current sim (A/B: same checkpoint, old sim 0.0 /
+# new sim 0.32 crash over 256 eps).  This queue retrains the seed-1
+# policies under the CURRENT semantics, re-records every row that
+# depends on them, then continues the acceptance sweep.  Fresh status
+# file on purpose: the dependent rows must re-run even though queue_r3
+# marked them DONE.
+cd /root/repo
+mkdir -p logs
+STATUS=logs/queue_r3c_status.txt
+echo $$ > logs/queue_r3c.pid
+echo "queue-r3c started $(date) pid=$$" >> "$STATUS"
+
+fam_of () { echo "$1" | sed -E 's/_[0-9]+b?$//; s/[0-9]+$//'; }
+
+run_item () {
+  local name="$1" tmo="$2"; shift 2
+  local fam; fam=$(fam_of "$name")
+  if grep -q "^DONE $name\$" "$STATUS" 2>/dev/null; then
+    echo "skip $name (already done)"; return
+  fi
+  local fails; fails=$(grep -c "^FAIL ${fam}" "$STATUS" 2>/dev/null || true)
+  if [ "${fails:-0}" -ge 2 ]; then
+    echo "SKIP $name (family $fam failed ${fails}x)" >> "$STATUS"; return
+  fi
+  local t0=$SECONDS
+  echo "=== $name start $(date) ===" >> "$STATUS"
+  timeout "$tmo" "$@" > "logs/$name.log" 2>&1
+  local rc=$?
+  local dt=$((SECONDS - t0))
+  if [ $rc -eq 0 ]; then
+    echo "DONE $name" >> "$STATUS"
+    echo "=== $name ok ${dt}s ===" >> "$STATUS"
+  else
+    echo "FAIL ${fam} $name rc=$rc ${dt}s" >> "$STATUS"
+  fi
+}
+
+PY="python3"
+MAIN="-m rl_mpc_lanemerging_tpu.main"
+
+# --- C1: retrain seed-1 policies under current semantics
+# (train_default_1 is run by hand as the convergence probe first, at the
+# full 1e6x2 budget; the rest at 3e5x2 — the in-training eval hits
+# crash 0 / merge 1 well before 1.5e5 frames under the batched envs) ---
+for fam in moderate low medium fast; do
+  run_item "train_${fam}_1" 2400 $PY $MAIN "configs/train_${fam}_1.json" --frames 300000
+done
+
+# --- C2: re-record the in-distribution _extended rows (new policies) ---
+for fam in default moderate low medium fast; do
+  [ -d "runs/ddpg_${fam}1_extended/params" ] && \
+    run_item "ddpg_${fam}1_extended_r2" 1200 $PY scripts/eval_ddpg.py "$fam" 1
+done
+
+# --- C3: the flagship combined rows under the retrained policies ---
+run_item combined_default_1_r2  3000 $PY $MAIN configs/combined_default_1.json  --batch 512
+run_item combined_default_1b_r2 3000 $PY $MAIN configs/combined_default_1b.json --batch 512
+
+# --- C4: combined sweep, seed 1 ---
+for fam in moderate low medium fast; do
+  run_item "combined_${fam}_1"  3000 $PY $MAIN "configs/combined_${fam}_1.json"  --batch 512
+  run_item "combined_${fam}_1b" 3000 $PY $MAIN "configs/combined_${fam}_1b.json" --batch 512
+done
+
+# --- C5: off-distribution DDPG rows (the paper's motivation story;
+# medium/moderate nets are the retrained seed-1 policies) ---
+for c in ddpg_medium_network_heavy_traffic_1 ddpg_medium_network_low_traffic_1 \
+         ddpg_medium_network_moderate_traffic_1 ddpg_medium_network_fast_traffic_1 \
+         ddpg_moderate_network_heavy_traffic_1 ddpg_moderate_network_low_traffic_1 \
+         ddpg_moderate_network_medium_traffic_1 ddpg_moderate_network_fast_traffic_1; do
+  [ -f "configs/$c.json" ] && run_item "$c" 1500 $PY $MAIN "configs/$c.json" --batch 1024
+done
+
+# --- C6: Rainbow end-to-end ---
+run_item train_dqn_default_1 8000 $PY $MAIN configs/train_dqn_default_1.json
+
+# --- C7: cross combined rows, seed 1 (medium + moderate networks) ---
+for tr in heavy low moderate fast; do
+  run_item "cross_medium_network_${tr}_traffic_1"  3000 $PY $MAIN "configs/cross_medium_network_${tr}_traffic_1.json"  --batch 512
+  run_item "cross_medium_network_${tr}_traffic_1b" 3000 $PY $MAIN "configs/cross_medium_network_${tr}_traffic_1b.json" --batch 512
+done
+for tr in fast slow; do
+  run_item "cross_moderate_network_${tr}_traffic_1"  3000 $PY $MAIN "configs/cross_moderate_network_${tr}_traffic_1.json"  --batch 512
+  run_item "cross_moderate_network_${tr}_traffic_1b" 3000 $PY $MAIN "configs/cross_moderate_network_${tr}_traffic_1b.json" --batch 512
+done
+
+# --- C8: seeds 2-3 retrains + their rows (time permitting) ---
+for s in 2 3; do
+  for fam in default low medium moderate fast; do
+    run_item "train_${fam}_${s}" 2400 $PY $MAIN "configs/train_${fam}_${s}.json" --frames 300000
+  done
+  for fam in default low medium moderate fast; do
+    run_item "ddpg_${fam}${s}_extended_r2" 1200 $PY scripts/eval_ddpg.py "$fam" "$s"
+  done
+done
+
+# --- C9: combined seeds 2-3 ---
+for s in 2 3; do
+  for fam in default low medium moderate fast; do
+    run_item "combined_${fam}_${s}"  3000 $PY $MAIN "configs/combined_${fam}_${s}.json"  --batch 512
+    run_item "combined_${fam}_${s}b" 3000 $PY $MAIN "configs/combined_${fam}_${s}b.json" --batch 512
+  done
+done
+
+echo "queue-r3c finished $(date)" >> "$STATUS"
