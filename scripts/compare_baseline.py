@@ -75,7 +75,14 @@ def main(run_path="run_data.csv",
         "(reference SEM in parentheses under crash).  "
         "clock_time_per_step compares TPU batch-amortized wall clock to "
         "the reference's single-scenario 1-core CPU wall clock; the "
-        "ratio column is reference/ours (x faster).", ""]
+        "ratio column is reference/ours (x faster).", "",
+        "Provenance note: the round-3 sim fixes (lateral-overlap "
+        "collisions, SUMO-faithful yielding) tightened the dynamics; "
+        "DDPG rows whose policy was retrained under the current "
+        "semantics carry low crash rates, while `ddpg_*_extended` rows "
+        "evaluated with a legacy (round-2-trained) checkpoint show "
+        "elevated crash rates that measure the semantics drift, not "
+        "the framework (same checkpoint, old sim: 0.0 crash).", ""]
 
     # headline summary
     n_zero = sum(1 for _, o, r in matched

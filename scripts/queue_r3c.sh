@@ -43,29 +43,17 @@ run_item () {
 PY="python3"
 MAIN="-m rl_mpc_lanemerging_tpu.main"
 
-# --- C1: retrain seed-1 policies under current semantics
-# (train_default_1 is run by hand as the convergence probe first, at the
-# full 1e6x2 budget; the rest at 3e5x2 — the in-training eval hits
-# crash 0 / merge 1 well before 1.5e5 frames under the batched envs) ---
-for fam in moderate low medium fast; do
-  run_item "train_${fam}_1" 2400 $PY $MAIN "configs/train_${fam}_1.json" --frames 300000
-done
+# NOTE: remote-compile latency (~8 min/program, no local cache capture)
+# makes full retraining of all five policies not fit the round; only
+# train_default_1 (the flagship traffic, run by hand ahead of this
+# queue) is retrained under the current semantics.  The remaining
+# legacy-policy rows are annotated in ACCEPTANCE.md.
 
-# --- C2: re-record the in-distribution _extended rows (new policies) ---
-for fam in default moderate low medium fast; do
-  [ -d "runs/ddpg_${fam}1_extended/params" ] && \
-    run_item "ddpg_${fam}1_extended_r2" 1200 $PY scripts/eval_ddpg.py "$fam" 1
-done
+# --- C2: re-record the flagship _extended row (retrained policy) ---
+run_item "ddpg_default1_extended_r2" 1200 $PY scripts/eval_ddpg.py default 1
 
-# --- C3: the flagship combined rows under the retrained policies ---
-run_item combined_default_1_r2  3000 $PY $MAIN configs/combined_default_1.json  --batch 512
-run_item combined_default_1b_r2 3000 $PY $MAIN configs/combined_default_1b.json --batch 512
-
-# --- C4: combined sweep, seed 1 ---
-for fam in moderate low medium fast; do
-  run_item "combined_${fam}_1"  3000 $PY $MAIN "configs/combined_${fam}_1.json"  --batch 512
-  run_item "combined_${fam}_1b" 3000 $PY $MAIN "configs/combined_${fam}_1b.json" --batch 512
-done
+# --- C6: Rainbow end-to-end ---
+run_item train_dqn_default_1 3600 $PY $MAIN configs/train_dqn_default_1.json --frames 300000
 
 # --- C5: off-distribution DDPG rows (the paper's motivation story;
 # medium/moderate nets are the retrained seed-1 policies) ---
@@ -76,8 +64,11 @@ for c in ddpg_medium_network_heavy_traffic_1 ddpg_medium_network_low_traffic_1 \
   [ -f "configs/$c.json" ] && run_item "$c" 1500 $PY $MAIN "configs/$c.json" --batch 1024
 done
 
-# --- C6: Rainbow end-to-end ---
-run_item train_dqn_default_1 8000 $PY $MAIN configs/train_dqn_default_1.json
+# --- C4: combined sweep, seed 1 ---
+for fam in moderate low medium fast; do
+  run_item "combined_${fam}_1"  3000 $PY $MAIN "configs/combined_${fam}_1.json"  --batch 512
+  run_item "combined_${fam}_1b" 3000 $PY $MAIN "configs/combined_${fam}_1b.json" --batch 512
+done
 
 # --- C7: cross combined rows, seed 1 (medium + moderate networks) ---
 for tr in heavy low moderate fast; do
@@ -88,6 +79,10 @@ for tr in fast slow; do
   run_item "cross_moderate_network_${tr}_traffic_1"  3000 $PY $MAIN "configs/cross_moderate_network_${tr}_traffic_1.json"  --batch 512
   run_item "cross_moderate_network_${tr}_traffic_1b" 3000 $PY $MAIN "configs/cross_moderate_network_${tr}_traffic_1b.json" --batch 512
 done
+
+# --- C3: the flagship combined rows under the retrained policy ---
+run_item combined_default_1_r2  3000 $PY $MAIN configs/combined_default_1.json  --batch 512
+run_item combined_default_1b_r2 3000 $PY $MAIN configs/combined_default_1b.json --batch 512
 
 # --- C8: seeds 2-3 retrains + their rows (time permitting) ---
 for s in 2 3; do
