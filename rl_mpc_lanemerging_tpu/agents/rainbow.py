@@ -31,7 +31,11 @@ __all__ = ["RainbowTrainState", "make_train_state", "train_round",
            "greedy_controller", "train", "evaluate"]
 
 NUM_ATOMS = 51
-V_MIN, V_MAX = -10.0, 10.0
+# support spans the reference's Double-DQN target clip range
+# (reference dqn.py:698: targets clipped to [-20, 10]); a crash return
+# of -10 plus accumulated time/jerk penalties lands inside, not on the
+# edge atom
+V_MIN, V_MAX = -20.0, 10.0
 RAINBOW_BATCH = 64
 RAINBOW_DISCOUNT = 0.99
 REPLAY_START = 2000
@@ -317,8 +321,15 @@ def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None):
     batch = state.env.obs.shape[0]
     frames0 = int(state.frames)
     last_refresh_bucket = int(state.episodes) // cfg.TARGET_NET_FREEZE_PERIOD
+    # learner cadence: the reference trainer this mirrors does 8 grad
+    # steps of batch 50 per episode (reference dqn.py:312-351); one
+    # 200-tick round over `batch` envs finishes ~batch*200/150 episodes,
+    # so match its updates-per-episode rate rather than the old 16/round
+    # (which left the net ~100x undertrained)
+    grad_steps = max(64, int(8 * batch * ticks_per_round / 150))
     for r in frame_budget_rounds(num_frames, ticks_per_round * batch):
-        state = train_round(state, cfg, lr, env_ticks=ticks_per_round)
+        state = train_round(state, cfg, lr, env_ticks=ticks_per_round,
+                            grad_steps=grad_steps)
         episodes = int(state.episodes)         # syncs; frame check needs it
         bucket = episodes // cfg.TARGET_NET_FREEZE_PERIOD
         if bucket != last_refresh_bucket:

@@ -49,8 +49,8 @@ MAIN="-m rl_mpc_lanemerging_tpu.main"
 # queue) is retrained under the current semantics.  The remaining
 # legacy-policy rows are annotated in ACCEPTANCE.md.
 
-# --- C2: re-record the flagship _extended row (retrained policy) ---
-run_item "ddpg_default1_extended_r2" 1200 $PY scripts/eval_ddpg.py default 1
+# (C2/C3 dropped: the default_1 retrain hit a wedged remote compile;
+# legacy-policy rows stand, annotated in ACCEPTANCE.md)
 
 # --- C6: Rainbow end-to-end ---
 run_item train_dqn_default_1 3600 $PY $MAIN configs/train_dqn_default_1.json --frames 300000
@@ -79,10 +79,6 @@ for tr in fast slow; do
   run_item "cross_moderate_network_${tr}_traffic_1"  3000 $PY $MAIN "configs/cross_moderate_network_${tr}_traffic_1.json"  --batch 512
   run_item "cross_moderate_network_${tr}_traffic_1b" 3000 $PY $MAIN "configs/cross_moderate_network_${tr}_traffic_1b.json" --batch 512
 done
-
-# --- C3: the flagship combined rows under the retrained policy ---
-run_item combined_default_1_r2  3000 $PY $MAIN configs/combined_default_1.json  --batch 512
-run_item combined_default_1b_r2 3000 $PY $MAIN configs/combined_default_1b.json --batch 512
 
 # --- C8: seeds 2-3 retrains + their rows (time permitting) ---
 for s in 2 3; do
