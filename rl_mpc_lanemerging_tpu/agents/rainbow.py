@@ -223,18 +223,28 @@ def _grad_step(params, target_params, opt_state, batch, rng, lr,
                                              "wait_before_start"))
 def train_round(state: RainbowTrainState, cfg: Settings, lr: float,
                 env_ticks: int = 64, grad_steps: int = 16,
-                wait_before_start: float = 20.0) -> RainbowTrainState:
+                wait_before_start: float = 20.0,
+                epsilon: float = 0.0) -> RainbowTrainState:
     net = _net(cfg)
     z = _support()
+    n_act = len(cfg.JERK_VALUES_DQN)
     init_pri = jnp.asarray(cfg.PER_MAX_PRIORITY ** cfg.PER_ALPHA)
 
     def collect(carry, _):
         env, stage, replay, rng, episodes, frames = carry
-        rng, k_noise = jax.random.split(rng)
-        # NoisyNet exploration: noisy forward pass, greedy over E[Z]
+        rng, k_noise, k_eps, k_act = jax.random.split(rng, 4)
+        # NoisyNet exploration: noisy forward pass, greedy over E[Z];
+        # plus epsilon-greedy on top (the reference's custom trainer's
+        # staircase-epsilon, dqn.py:275-276 — NoisyNet noise alone
+        # collapses to a do-nothing local optimum on this env)
         logits = net.apply(state.params, env.obs, rng=k_noise)
         q = jnp.sum(jax.nn.softmax(logits, axis=-1) * z, axis=-1)
         action = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        b = action.shape[0]
+        action = jnp.where(
+            jax.random.uniform(k_eps, (b,)) < epsilon,
+            jax.random.randint(k_act, (b,), 0, n_act, jnp.int32),
+            action)
         env, tr = env_step(env, action, cfg, EnvKind.JERK,
                            max_episode_length=cfg.MAX_EPISODE_LENGTH,
                            wait_before_start=wait_before_start)
@@ -328,8 +338,12 @@ def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None):
     # (which left the net ~100x undertrained)
     grad_steps = max(64, int(8 * batch * ticks_per_round / 150))
     for r in frame_budget_rounds(num_frames, ticks_per_round * batch):
+        # epsilon-greedy anneal 1.0 -> 0.05 over the first half of the
+        # frame budget (staircase-equivalent of reference dqn.py:275)
+        frac = min((int(state.frames) - frames0) / (num_frames * 0.5), 1.0)
+        eps = 1.0 + (0.05 - 1.0) * frac
         state = train_round(state, cfg, lr, env_ticks=ticks_per_round,
-                            grad_steps=grad_steps)
+                            grad_steps=grad_steps, epsilon=eps)
         episodes = int(state.episodes)         # syncs; frame check needs it
         bucket = episodes // cfg.TARGET_NET_FREEZE_PERIOD
         if bucket != last_refresh_bucket:
