@@ -303,14 +303,56 @@ def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
                   lr: float, verbose: bool = True, run=None,
                   updates_per_tick: int = 64,
                   eval_every_rounds: int = 0,
-                  eval_episodes: int = 256) -> DDPGTrainState:
+                  eval_episodes: int = 512,
+                  best: dict | None = None) -> DDPGTrainState:
+    """Advance ``num_frames`` frames.  With ``eval_every_rounds`` the actor
+    is periodically evaluated and — model selection — the best-scoring
+    (lowest crash, then lowest jerk, merge-complete) parameter snapshot is
+    tracked in ``best`` (a dict with keys score/params, threaded through
+    stages so the pipeline keeps one best across train + extended).  The
+    reference keeps only the final parameters (ddpg.py:96-117); at this
+    trainer's reduced frame budgets the late-training policy is noisy
+    enough that the recorded row would otherwise depend on where the
+    budget happens to stop."""
     from .budget import frame_budget_rounds
     ticks_per_round = 200
     batch = state.env.obs.shape[0]
     frames0 = int(state.frames)
+
+    def do_eval(tag=""):
+        crash, merge, jerk = _eval_actor(cfg, state.actor_params,
+                                         eval_episodes)
+        if verbose:
+            print(f"  [eval @ {int(state.frames)} frames{tag}] "
+                  f"crash={crash:.4f} merge={merge:.4f} "
+                  f"jerk={jerk:.3f}", flush=True)
+        if run is not None:
+            run.log_scalars(int(state.frames),
+                            {"eval_crash": crash, "eval_merge": merge,
+                             "eval_jerk": jerk})
+        if best is not None:
+            # weighted scalar: a crash is ~5x worse than a timeout
+            # (reference rewards: crash -10, success +10, -0.1/s), with a
+            # small jerk tie-breaker.  NOT lexicographic on crash — that
+            # would select a never-merging do-nothing policy over a
+            # 99.5%-merge one.
+            timeout_frac = max(1.0 - merge - crash, 0.0)
+            score = (crash + 0.2 * timeout_frac + 0.01 * jerk,
+                     crash, jerk)
+            if best.get("score") is None or score < best["score"]:
+                best["score"] = score
+                best["params"] = (state.actor_params, state.critic_params)
+                best["frames"] = int(state.frames)
+                if verbose:
+                    print(f"  [best so far: crash={crash:.4f} "
+                          f"merge={merge:.4f} jerk={jerk:.3f}]",
+                          flush=True)
+
+    evaluated_this_round = False
     for r in frame_budget_rounds(num_frames, ticks_per_round * batch):
         state = train_round(state, cfg, lr, env_ticks=ticks_per_round,
                             updates_per_tick=updates_per_tick)
+        evaluated_this_round = False
         if r % 5 == 4 \
                 or int(state.frames) - frames0 >= num_frames:
             state = jax.block_until_ready(state)
@@ -329,23 +371,19 @@ def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
                                 {"episodes": int(state.episodes),
                                  "avg_return": avg_ret, "lr": lr})
         if eval_every_rounds and (r + 1) % eval_every_rounds == 0:
-            crash, merge, jerk = _eval_actor(cfg, state.actor_params,
-                                             eval_episodes)
-            if verbose:
-                print(f"  [eval @ {int(state.frames)} frames] "
-                      f"crash={crash:.4f} merge={merge:.4f} "
-                      f"jerk={jerk:.3f}", flush=True)
-            if run is not None:
-                run.log_scalars(int(state.frames),
-                                {"eval_crash": crash, "eval_merge": merge,
-                                 "eval_jerk": jerk})
+            do_eval()
+            evaluated_this_round = True
         if int(state.frames) - frames0 >= num_frames:
             break
-    return jax.block_until_ready(state)
+    state = jax.block_until_ready(state)
+    # give the final parameters a chance to be the selected snapshot
+    if eval_every_rounds and best is not None and not evaluated_this_round:
+        do_eval(tag=", final")
+    return state
 
 
 def train(cfg: Settings, num_frames: float = 1e6, resume: bool = False,
-          verbose: bool = True, eval_every_rounds: int = 8):
+          verbose: bool = True, eval_every_rounds: int = 5):
     """``train_ddpg_all_with_lr_drop`` (reference ddpg.py:96-117): train,
     then lr/10 + resume into an _extended run, then evaluate."""
     from .. import tasks
@@ -364,32 +402,41 @@ def train(cfg: Settings, num_frames: float = 1e6, resume: bool = False,
     if verbose:
         print(f"DDPG train: {num_frames:.0f} frames at lr="
               f"{cfg.LEARNING_RATE}", flush=True)
+    best: dict = {}
     state = _train_frames(cfg, state, num_frames, cfg.LEARNING_RATE,
                           verbose, run=run,
-                          eval_every_rounds=eval_every_rounds)
-    save_params(run.path, {"actor": state.actor_params,
-                           "critic": state.critic_params})
+                          eval_every_rounds=eval_every_rounds, best=best)
+    stage1 = best.get("params") or (state.actor_params,
+                                    state.critic_params)
+    save_params(run.path, {"actor": stage1[0], "critic": stage1[1]})
 
+    final = stage1
     if not resume:
-        # lr drop + extended run (ddpg.py:98-102)
+        # lr drop + extended run (ddpg.py:98-102); seeded from the
+        # best-of-stage-1 snapshot
         lr2 = cfg.LEARNING_RATE / 10.0
         cfg2 = cfg.replace(LOG_DIR=cfg.LOG_DIR + "_extended")
         run2 = setup_run_dir(cfg2, snapshot_src=False)
         state2 = make_train_state(cfg2, tasks.make_worlds(cfg2),
                                   jax.random.split(rng)[0], lr=lr2,
-                                  init_params=(state.actor_params,
-                                               state.critic_params))
+                                  init_params=stage1)
         if verbose:
             print(f"DDPG extended: {num_frames:.0f} frames at lr={lr2}",
                   flush=True)
         state2 = _train_frames(cfg2, state2, num_frames, lr2, verbose,
                                run=run2,
-                               eval_every_rounds=eval_every_rounds)
-        save_params(run2.path, {"actor": state2.actor_params,
-                                "critic": state2.critic_params})
+                               eval_every_rounds=eval_every_rounds,
+                               best=best)
+        final = best.get("params") or (state2.actor_params,
+                                       state2.critic_params)
+        save_params(run2.path, {"actor": final[0], "critic": final[1]})
         state = state2
 
-    evaluate(cfg, params=state.actor_params)
+    if verbose and best.get("score") is not None:
+        print(f"  selected snapshot @ {best['frames']} frames "
+              f"(crash={best['score'][1]:.4f} jerk={best['score'][2]:.3f})",
+              flush=True)
+    evaluate(cfg, params=final[0])
     return state
 
 
@@ -408,6 +455,14 @@ def evaluate(cfg: Settings, params=None, verbose: bool = True):
     if verbose:
         agg.print_stats()
     agg.save_plots(f"runs/{cfg.LOG_DIR}")
+    try:
+        from ..forensics import plot_rollouts
+        plot_rollouts(actor_jerk(params, cfg), cfg,
+                      f"runs/{cfg.LOG_DIR}/plots")
+    except Exception:                     # pragma: no cover - plots only
+        import logging
+        logging.getLogger(__name__).warning(
+            "rollout plots failed", exc_info=True)
     agg.add_csv_data()
     return agg
 

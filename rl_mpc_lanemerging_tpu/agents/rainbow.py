@@ -321,11 +321,35 @@ def greedy_controller(params, cfg: Settings):
 # task drivers (reference rainbow.py:85-106, main.py:21-31)
 # ---------------------------------------------------------------------------
 
-def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None):
+EPS_END = 0.1   # reference library preset final exploration (see ADVICE r3)
+
+
+def _eval_greedy(cfg, params, num_episodes=512):
+    """Greedy-policy evaluation at EVALUATION_TICK_LENGTH (the batched
+    equivalent of reference dqn.py:282-285)."""
+    from .. import tasks
+    eval_cfg = cfg.replace(TICK_LENGTH=cfg.EVALUATION_TICK_LENGTH)
+    controller = jax.jit(greedy_controller(params, eval_cfg))
+    agg = tasks.evaluate_controller(
+        eval_cfg, controller, num_episodes=num_episodes,
+        max_episode_length=cfg.EVALUATION_EPISODE_LENGTH, verbose=False)
+    avg = agg.get_stat_averages()
+    return avg["crashed"], avg["merged"], avg["mean_abs_jerk"]
+
+
+def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None,
+                  eps_start=1.0, eval_every_rounds=10, best=None):
     """Advance training to ``num_frames`` valid env frames, refreshing the
     target network every TARGET_NET_FREEZE_PERIOD *episodes* (reference
     dqn.py:278-280 — the trainer this pipeline mirrors refreshes on an
-    episode cadence, not a round cadence)."""
+    episode cadence, not a round cadence).
+
+    ``eps_start`` lets resumed / fine-tuning stages (lr/10 extended,
+    RESUME_DQN) start the anneal from an already-low epsilon instead of
+    re-burning half the budget on near-random experience; the reference's
+    extended rainbow stage explores via NoisyNets only (rainbow.py:63-67).
+    ``best`` tracks the best-eval parameter snapshot like the DDPG trainer.
+    """
     from .budget import frame_budget_rounds
     ticks_per_round = 200
     batch = state.env.obs.shape[0]
@@ -337,11 +361,35 @@ def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None):
     # so match its updates-per-episode rate rather than the old 16/round
     # (which left the net ~100x undertrained)
     grad_steps = max(64, int(8 * batch * ticks_per_round / 150))
+
+    def do_eval(tag=""):
+        crash, merge, jerk = _eval_greedy(cfg, state.params)
+        if verbose:
+            print(f"  [eval @ {int(state.frames)} frames{tag}] "
+                  f"crash={crash:.4f} merge={merge:.4f} jerk={jerk:.3f}",
+                  flush=True)
+        if run is not None:
+            run.log_scalars(int(state.frames),
+                            {"eval_crash": crash, "eval_merge": merge,
+                             "eval_jerk": jerk})
+        if best is not None:
+            # weighted scalar, same rationale as the DDPG trainer: a
+            # crash ~5x a timeout, small jerk tie-break — never pick a
+            # do-nothing policy over a high-merge one
+            timeout_frac = max(1.0 - merge - crash, 0.0)
+            score = (crash + 0.2 * timeout_frac + 0.01 * jerk,
+                     crash, jerk)
+            if best.get("score") is None or score < best["score"]:
+                best["score"] = score
+                best["params"] = state.params
+                best["frames"] = int(state.frames)
+
+    evaluated = False
     for r in frame_budget_rounds(num_frames, ticks_per_round * batch):
-        # epsilon-greedy anneal 1.0 -> 0.05 over the first half of the
-        # frame budget (staircase-equivalent of reference dqn.py:275)
+        # epsilon-greedy anneal eps_start -> EPS_END over the first half
+        # of the frame budget (staircase-equivalent of reference dqn.py:275)
         frac = min((int(state.frames) - frames0) / (num_frames * 0.5), 1.0)
-        eps = 1.0 + (0.05 - 1.0) * frac
+        eps = eps_start + (EPS_END - eps_start) * frac
         state = train_round(state, cfg, lr, env_ticks=ticks_per_round,
                             grad_steps=grad_steps, epsilon=eps)
         episodes = int(state.episodes)         # syncs; frame check needs it
@@ -350,15 +398,22 @@ def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None):
             state = state._replace(target_params=state.params)
             last_refresh_bucket = bucket
         frames = int(state.frames)
+        evaluated = False
         if r % 10 == 0 or frames - frames0 >= num_frames:
             if verbose:
                 print(f"  round {r} frames={frames}/{int(num_frames)} "
                       f"episodes={episodes}", flush=True)
             if run is not None:
                 run.log_scalars(frames, {"episodes": episodes, "lr": lr})
+        if eval_every_rounds and (r + 1) % eval_every_rounds == 0:
+            do_eval()
+            evaluated = True
         if frames - frames0 >= num_frames:
             break
-    return jax.block_until_ready(state)
+    state = jax.block_until_ready(state)
+    if best is not None and not evaluated:
+        do_eval(tag=", final")
+    return state
 
 
 def train(cfg: Settings, num_frames: float = 1e6, resume: bool = False,
@@ -374,23 +429,34 @@ def train(cfg: Settings, num_frames: float = 1e6, resume: bool = False,
     init = load_params(cfg.MODEL_NAME)["q_dist"] if resume else None
     state = make_train_state(cfg, worlds, rng, lr=cfg.LEARNING_RATE,
                              init_params=init)
+    best: dict = {}
     state = _train_frames(cfg, state, num_frames, cfg.LEARNING_RATE,
-                          verbose, run=run)
-    save_params(run.path, {"q_dist": state.params})
+                          verbose, run=run,
+                          eps_start=EPS_END if resume else 1.0, best=best)
+    stage1 = best.get("params") if best.get("params") is not None \
+        else state.params
+    save_params(run.path, {"q_dist": stage1})
 
+    final = stage1
     if not resume:
         lr2 = cfg.LEARNING_RATE / 10.0
         cfg2 = cfg.replace(LOG_DIR=cfg.LOG_DIR + "_extended")
         run2 = setup_run_dir(cfg2, snapshot_src=False)
         state2 = make_train_state(cfg2, tasks.make_worlds(cfg2),
                                   jax.random.split(rng)[0], lr=lr2,
-                                  init_params=state.params)
+                                  init_params=stage1)
         state2 = _train_frames(cfg2, state2, num_frames, lr2, verbose,
-                               run=run2)
-        save_params(run2.path, {"q_dist": state2.params})
+                               run=run2, eps_start=EPS_END, best=best)
+        final = best.get("params") if best.get("params") is not None \
+            else state2.params
+        save_params(run2.path, {"q_dist": final})
         state = state2
 
-    evaluate(cfg, params=state.params)
+    if verbose and best.get("score") is not None:
+        print(f"  selected snapshot @ {best['frames']} frames "
+              f"(crash={best['score'][1]:.4f} jerk={best['score'][2]:.3f})",
+              flush=True)
+    evaluate(cfg, params=final)
     return state
 
 

@@ -184,6 +184,14 @@ class Settings:
     MAX_SENSED_CARS: int = 32       # padded slots for sensed cars in a state
     QP_ITERATIONS: int = 300        # fixed ADMM iterations for the smoother
     SOLVER_DTYPE: str = "float32"   # DP accumulation dtype on device
+    # sim-semantics diagnostics (A/B attribution of the sparse-traffic ST
+    # jerk gap, VERDICT r3 item 6; "default" / False = production
+    # behavior).  DIAG_YIELD_MODE: "always" makes highway cars always
+    # splice the merged ego as leader, "never" makes them assert priority
+    # unconditionally.  DIAG_NO_PASS_CLAMP_OFF removes the
+    # follower-never-passes-leader position clamp.
+    DIAG_YIELD_MODE: str = "default"
+    DIAG_NO_PASS_CLAMP_OFF: bool = False
 
     # --- derived static grid shapes -----------------------------------
     @property

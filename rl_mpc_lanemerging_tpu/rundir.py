@@ -73,9 +73,20 @@ def _dump_src(run_path: str) -> None:
 
 def setup_run_dir(cfg: Settings, snapshot_src: bool = True) -> RunDir:
     """Create ``runs/<LOG_DIR>``, dump resolved settings + sources, and
-    attach a file handler for ``out.log`` (reference config.py:179-193)."""
+    attach a file handler for ``out.log`` (reference config.py:179-193).
+
+    A pre-existing ``scalars.csv`` is rotated to ``scalars.<n>.csv`` so
+    a rerun into the same LOG_DIR never appends rows with a different
+    column schema under the old header (ADVICE r3: the aborted retrain
+    probe left ddpg_default1/scalars.csv with mixed-schema rows)."""
     path = os.path.join("runs", cfg.LOG_DIR)
     os.makedirs(path, exist_ok=True)
+    scalars = os.path.join(path, "scalars.csv")
+    if os.path.exists(scalars):
+        n = 1
+        while os.path.exists(os.path.join(path, f"scalars.{n}.csv")):
+            n += 1
+        os.rename(scalars, os.path.join(path, f"scalars.{n}.csv"))
     run = RunDir(path)
 
     settings = {k: v for k, v in dataclasses.asdict(cfg).items()}

@@ -209,6 +209,10 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
     rel_brake = jnp.maximum(world.cars_v ** 2 - world.ego_v ** 2, 0.0) \
         / (2.0 * b_cap)
     can_yield = (gap_e >= 0.0) & (gap_e >= rel_brake)
+    if cfg.DIAG_YIELD_MODE == "always":     # diagnostics (VERDICT r3 #6)
+        can_yield = gap_e >= 0.0
+    elif cfg.DIAG_YIELD_MODE == "never":
+        can_yield = jnp.zeros_like(can_yield)
     ego_between = ego_on_highway & can_yield \
         & (ego_x > x) & (ego_x < leader_x)
     leader_x = jnp.where(ego_between, ego_x, leader_x)
@@ -242,6 +246,8 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
     x_floor = x + jnp.maximum(world.cars_v - b_cap * dt, 0.0) * dt
     ego_block = ego_x - cfg.CAR_LENGTH
     blocked = ego_between & (new_cars_x > ego_block)
+    if cfg.DIAG_NO_PASS_CLAMP_OFF:          # diagnostics (VERDICT r3 #6)
+        blocked = jnp.zeros_like(blocked)
     clamped_x = jnp.maximum(jnp.minimum(new_cars_x, ego_block), x_floor)
     new_cars_x = jnp.where(blocked, clamped_x, new_cars_x)
     new_cars_v = jnp.where(blocked, (new_cars_x - x) / dt, new_cars_v)

@@ -24,10 +24,9 @@ for _t in ("default", "low", "medium", "moderate", "fast"):
         # our TRAIN_* trailing eval logs under the train LOG_DIR; the
         # reference's in-distribution eval rows carry the _extended name
         NAME_MAP[f"ddpg_{_t}{_s}"] = f"ddpg_{_t}{_s}_extended"
-for _s in (1, 2, 3):
-    # reference CSV used "slow_traffic" for what its configs call low
-    NAME_MAP[f"ddpg_moderate_network_low_traffic_{_s}"] = \
-        f"ddpg_moderate_network_slow_traffic_{_s}"
+# NOTE: ddpg_moderate_network_slow_traffic_* (interval 1.2, speed 7)
+# now has its own configs; it is NOT the same traffic as our
+# *_low_traffic_* (interval 2.4) and must not be name-mapped to it.
 
 
 def family(log_dir: str) -> str:
@@ -92,12 +91,16 @@ def main(run_path="run_data.csv",
                 for _, o, r in matched
                 if o["clock_time_per_step"] > 0
                 and not pd.isna(r["clock_time_per_step"])]
+    if speedups:
+        speed_txt = (f"median wall-clock speedup "
+                     f"**{np.median(speedups):,.0f}x** (range "
+                     f"{min(speedups):,.0f}-{max(speedups):,.0f}x)")
+    else:  # e.g. fresh clone with an empty run_data.csv (ADVICE r3)
+        speed_txt = "no matched row carries a usable clock_time_per_step"
     lines += [
         f"**{len(matched)}** matched reference configs; "
         f"**{n_zero}/{n_ref_zero}** of the reference's zero-crash rows "
-        f"reproduced at exactly 0.0 crash; median wall-clock speedup "
-        f"**{np.median(speedups):,.0f}x** (range "
-        f"{min(speedups):,.0f}-{max(speedups):,.0f}x).", ""]
+        f"reproduced at exactly 0.0 crash; " + speed_txt + ".", ""]
 
     for fam in ("st", "combined", "cross", "ddpg"):
         rows = [(n, o, r) for n, o, r in matched if family(n) == fam]

@@ -22,13 +22,16 @@ def main():
     ap.add_argument("seed", type=int)
     ap.add_argument("--episodes", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--log-dir", default=None,
+                    help="override the recorded LOG_DIR (e.g. the "
+                         "reference's oddball ddpg_evaluate_low_2_4000)")
     args = ap.parse_args()
 
     from rl_mpc_lanemerging_tpu.config import Settings
     cfg = Settings.load_from_file(f"configs/train_{args.family}_{args.seed}.json")
-    name = f"ddpg_{args.family}{args.seed}_extended"
+    name = args.log_dir or f"ddpg_{args.family}{args.seed}_extended"
     cfg = cfg.replace(TASK="EVALUATE_DDPG",
-                      MODEL_NAME=f"runs/{name}",
+                      MODEL_NAME=f"runs/ddpg_{args.family}{args.seed}_extended",
                       LOG_DIR=name,
                       NUM_EPISODES=args.episodes,
                       BATCH_SCENARIOS=args.batch)
