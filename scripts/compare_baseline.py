@@ -75,13 +75,13 @@ def main(run_path="run_data.csv",
         "clock_time_per_step compares TPU batch-amortized wall clock to "
         "the reference's single-scenario 1-core CPU wall clock; the "
         "ratio column is reference/ours (x faster).", "",
-        "Provenance note: the round-3 sim fixes (lateral-overlap "
-        "collisions, SUMO-faithful yielding) tightened the dynamics; "
-        "DDPG rows whose policy was retrained under the current "
-        "semantics carry low crash rates, while `ddpg_*_extended` rows "
-        "evaluated with a legacy (round-2-trained) checkpoint show "
-        "elevated crash rates that measure the semantics drift, not "
-        "the framework (same checkpoint, old sim: 0.0 crash).", ""]
+        "Provenance note: every DDPG policy was retrained in round 4 "
+        "under the current sim semantics with best-eval snapshot "
+        "selection (1e6+1e6 frames, the reference's budget); the row "
+        "shown per LOG_DIR is the latest, i.e. post-retrain where a "
+        "rerun exists.  Earlier rows in run_data.csv (kept append-only "
+        "like the reference's) include legacy-checkpoint evals that "
+        "measured the round-2->3 semantics drift.", ""]
 
     # headline summary
     n_zero = sum(1 for _, o, r in matched

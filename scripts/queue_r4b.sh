@@ -28,8 +28,45 @@ run_item () {
   fi
 }
 
+# fresh ddpg_*_extended eval rows: the tracked rows for these LOG_DIRs
+# predate the r4 retrains (legacy checkpoints under the r3 semantics,
+# crash ~0.29); re-record them from the retrained checkpoints so the
+# latest row per LOG_DIR reflects reproducible in-repo state.
+for fam in default low medium moderate; do
+  for s in 1 2 3; do
+    [ -d "runs/ddpg_${fam}${s}_extended/params" ] && \
+      run_item "ddpg_${fam}${s}_extended_refresh" 1500 python3 scripts/eval_ddpg.py "$fam" "$s"
+  done
+done
+timeout 300 python3 scripts/compare_baseline.py >> "$STATUS" 2>&1
+
 run_item st_jerk_ab_fast 3600 python3 scripts/st_jerk_ab.py --config st_fast --episodes 2000 --out STUDY_ST_JERK.md
 run_item arbiter_study_moderate 5400 python3 scripts/arbiter_study.py --family moderate --episodes 2000
 run_item st_jerk_ab_moderate 3600 python3 scripts/st_jerk_ab.py --config st_moderate --episodes 2000 --out STUDY_ST_JERK_MODERATE.md
+
+# --- phase F (moved from queue_r4): re-record seed-1 combined/cross rows
+# on the retrained checkpoints so every recorded row is reproducible from
+# the params now in runs/ ---
+MAIN="-m rl_mpc_lanemerging_tpu.main"
+for fam in default low medium moderate fast; do
+  run_item "combined_${fam}_1_redo"  3000 python3 $MAIN "configs/combined_${fam}_1.json"  --batch 512
+  run_item "combined_${fam}_1b_redo" 3000 python3 $MAIN "configs/combined_${fam}_1b.json" --batch 512
+done
+for c in cross_medium_network_heavy_traffic_1 cross_medium_network_heavy_traffic_1b \
+         cross_medium_network_low_traffic_1 cross_medium_network_low_traffic_1b \
+         cross_medium_network_moderate_traffic_1 cross_medium_network_moderate_traffic_1b \
+         cross_medium_network_fast_traffic_1 cross_medium_network_fast_traffic_1b \
+         cross_moderate_network_fast_traffic_1 cross_moderate_network_fast_traffic_1b \
+         cross_moderate_network_slow_traffic_1 cross_moderate_network_slow_traffic_1b \
+         ddpg_medium_network_heavy_traffic_1 ddpg_medium_network_low_traffic_1 \
+         ddpg_medium_network_moderate_traffic_1 ddpg_medium_network_fast_traffic_1 \
+         ddpg_moderate_network_heavy_traffic_1 ddpg_moderate_network_low_traffic_1 \
+         ddpg_moderate_network_medium_traffic_1 ddpg_moderate_network_fast_traffic_1; do
+  run_item "${c}_redo" 3000 python3 $MAIN "configs/$c.json" --batch 512
+done
+timeout 300 python3 scripts/compare_baseline.py >> "$STATUS" 2>&1
+
+# custom Double-DQN/PER trainer evidence row (VERDICT r3 weak 7)
+run_item dqn_custom_default1 5400 python3 scripts/train_custom_dqn.py
 
 echo "queue-r4b finished $(date)" >> "$STATUS"
