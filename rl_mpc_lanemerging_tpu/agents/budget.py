@@ -16,7 +16,20 @@ import logging
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["frame_budget_rounds"]
+__all__ = ["frame_budget_rounds", "snapshot_score"]
+
+
+def snapshot_score(crash: float, merge: float, jerk: float):
+    """Model-selection score for best-eval snapshot tracking (lower is
+    better), shared by the DDPG and Rainbow trainers.
+
+    Weighted scalar first — a crash weighs ~5x a timeout (reference
+    rewards: crash -10, success +10, -0.1/s) with a small jerk term —
+    then (crash, jerk) tie-breaks.  Deliberately NOT lexicographic on
+    crash: that would select a never-merging do-nothing policy (crash 0,
+    merge 0) over a 99.5%-merge one."""
+    timeout_frac = max(1.0 - merge - crash, 0.0)
+    return (crash + 0.2 * timeout_frac + 0.01 * jerk, crash, jerk)
 
 
 def frame_budget_rounds(num_frames: float, frames_per_round_upper: int,

@@ -331,14 +331,8 @@ def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
                             {"eval_crash": crash, "eval_merge": merge,
                              "eval_jerk": jerk})
         if best is not None:
-            # weighted scalar: a crash is ~5x worse than a timeout
-            # (reference rewards: crash -10, success +10, -0.1/s), with a
-            # small jerk tie-breaker.  NOT lexicographic on crash — that
-            # would select a never-merging do-nothing policy over a
-            # 99.5%-merge one.
-            timeout_frac = max(1.0 - merge - crash, 0.0)
-            score = (crash + 0.2 * timeout_frac + 0.01 * jerk,
-                     crash, jerk)
+            from .budget import snapshot_score
+            score = snapshot_score(crash, merge, jerk)
             if best.get("score") is None or score < best["score"]:
                 best["score"] = score
                 best["params"] = (state.actor_params, state.critic_params)

@@ -373,12 +373,8 @@ def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None,
                             {"eval_crash": crash, "eval_merge": merge,
                              "eval_jerk": jerk})
         if best is not None:
-            # weighted scalar, same rationale as the DDPG trainer: a
-            # crash ~5x a timeout, small jerk tie-break — never pick a
-            # do-nothing policy over a high-merge one
-            timeout_frac = max(1.0 - merge - crash, 0.0)
-            score = (crash + 0.2 * timeout_frac + 0.01 * jerk,
-                     crash, jerk)
+            from .budget import snapshot_score
+            score = snapshot_score(crash, merge, jerk)
             if best.get("score") is None or score < best["score"]:
                 best["score"] = score
                 best["params"] = state.params

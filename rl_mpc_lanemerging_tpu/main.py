@@ -14,14 +14,16 @@ import logging
 from .config import Settings
 
 
-def do_task(cfg: Settings, num_frames: float = 1e6) -> None:
+def do_task(cfg: Settings, num_frames: float = 1e6,
+            record_csv: bool = True) -> None:
     task = cfg.TASK
     from .rundir import setup_run_dir
     setup_run_dir(cfg, snapshot_src=task.startswith(("TRAIN", "RESUME")))
     if task == "ST":
         from . import tasks
         agg = tasks.evaluate_st(cfg)
-        agg.add_csv_data()
+        if record_csv:
+            agg.add_csv_data()
     elif task in ("TRAIN_DQN", "RESUME_DQN"):
         from .agents import rainbow as rainbow_agent
         rainbow_agent.train(cfg, num_frames=num_frames,
@@ -103,6 +105,10 @@ def main(argv=None) -> None:
                         help="sweep the reference's ST-weight or "
                              "combination grids around the loaded config "
                              "(reference main.py:43-81)")
+    parser.add_argument("--no-csv", action="store_true",
+                        help="skip the run_data.csv row (smoke/verify "
+                             "runs must not pollute the experiment "
+                             "database)")
     args = parser.parse_args(argv)
 
     import jax
@@ -130,7 +136,8 @@ def main(argv=None) -> None:
     elif args.grid_search == "combined":
         do_grid_search_combined(cfg)
     else:
-        do_task(cfg, num_frames=args.frames)
+        do_task(cfg, num_frames=args.frames,
+                record_csv=not args.no_csv)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,89 @@
+"""Best-eval snapshot selection + run-dir hygiene (round-4 additions).
+
+The trainers keep the best periodic-eval parameter snapshot instead of
+the final parameters (agents/budget.snapshot_score); run dirs rotate a
+pre-existing scalars.csv so reruns never append mixed-schema rows
+(rundir.setup_run_dir; r3 advisor finding).
+"""
+
+import os
+
+from rl_mpc_lanemerging_tpu.agents.budget import snapshot_score
+
+
+def test_crash_dominates_jerk():
+    good = snapshot_score(0.0, 1.0, 0.8)
+    crashy = snapshot_score(0.05, 0.95, 0.2)
+    assert good < crashy
+
+
+def test_high_merge_beats_do_nothing():
+    # a 99.5%-merge policy with a few crashes must beat a never-merging
+    # "safe" policy — the failure mode of a crash-first lexicographic rule
+    merger = snapshot_score(0.005, 0.995, 0.4)
+    parked = snapshot_score(0.0, 0.0, 0.05)
+    assert merger < parked
+
+
+def test_jerk_breaks_ties():
+    smooth = snapshot_score(0.0, 1.0, 0.3)
+    jerky = snapshot_score(0.0, 1.0, 0.5)
+    assert smooth < jerky
+
+
+def test_crash_outweighs_timeouts_5x():
+    # 1% crash ~ 5% timeouts by construction; 1% crash beats 6% timeouts
+    crashy = snapshot_score(0.01, 0.99, 0.0)
+    slow6 = snapshot_score(0.0, 0.94, 0.0)
+    slow4 = snapshot_score(0.0, 0.96, 0.0)
+    assert crashy < slow6
+    assert slow4 < crashy
+
+
+def test_scalars_rotation(tmp_path, monkeypatch):
+    from rl_mpc_lanemerging_tpu.config import Settings
+    from rl_mpc_lanemerging_tpu.rundir import setup_run_dir
+
+    monkeypatch.chdir(tmp_path)
+    cfg = Settings().replace(LOG_DIR="rotate_me")
+    run = setup_run_dir(cfg, snapshot_src=False)
+    run.log_scalars(1, {"a": 1.0})
+    assert os.path.exists(tmp_path / "runs/rotate_me/scalars.csv")
+
+    run2 = setup_run_dir(cfg, snapshot_src=False)
+    assert os.path.exists(tmp_path / "runs/rotate_me/scalars.1.csv")
+    assert not os.path.exists(tmp_path / "runs/rotate_me/scalars.csv")
+    run2.log_scalars(2, {"b": 2.0, "c": 3.0})   # fresh schema, own header
+    with open(tmp_path / "runs/rotate_me/scalars.csv") as fh:
+        assert fh.readline().strip() == "step,b,c"
+
+
+def test_diag_yield_toggles_follower_disruption():
+    """DIAG_YIELD_MODE diagnostics (VERDICT r3 item 6 A/B harness): with
+    "never" highway cars assert priority unconditionally, so a crawling
+    ego induces no follower disruption; with "always"/default a merged
+    slow ego forces yielding (disruption > 0).  Production default stays
+    between the two extremes by construction."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rl_mpc_lanemerging_tpu.config import Settings
+    from rl_mpc_lanemerging_tpu.sim import init_world, run_episode_batch
+
+    def disruption(mode):
+        cfg = Settings().replace(DIAG_YIELD_MODE=mode)
+        keys = jax.random.split(jax.random.PRNGKey(7), 8)
+        w = jax.vmap(lambda k: init_world(k, cfg, jnp.float64))(keys)
+        # crawl through the merge: maximally disruptive if cars yield
+        controller = lambda state: jnp.full_like(state.ego_speed, 2.0)
+        _, stats = run_episode_batch(w, cfg, controller)
+        return float(np.sum(np.asarray(stats.sum_disruption)))
+
+    d_never = disruption("never")
+    d_default = disruption("default")
+    d_always = disruption("always")
+    assert d_never == 0.0
+    assert d_always > 0.0
+    assert d_default > 0.0
+    assert d_always >= d_default >= d_never
