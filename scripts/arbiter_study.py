@@ -57,11 +57,19 @@ def main():
     ap.add_argument("--episodes", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--weak-frames", type=float, default=60000)
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (cpu runs concurrently "
+                         "with TPU queues; the portable dense solver is "
+                         "differential-tested against the Pallas path)")
     ap.add_argument("--out", default="ARBITER_STUDY.md")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_test_cache" if args.platform == "cpu"
+                      else "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from rl_mpc_lanemerging_tpu import tasks

@@ -28,6 +28,10 @@ run_item () {
   fi
 }
 
+run_item st_jerk_ab_fast 5400 python3 scripts/st_jerk_ab.py --config st_fast --episodes 1024 --out STUDY_ST_JERK.md
+run_item arbiter_study_moderate 7200 python3 scripts/arbiter_study.py --family moderate --episodes 1024
+run_item st_jerk_ab_moderate 5400 python3 scripts/st_jerk_ab.py --config st_moderate --episodes 1024 --out STUDY_ST_JERK_MODERATE.md
+
 # fresh ddpg_*_extended eval rows: the tracked rows for these LOG_DIRs
 # predate the r4 retrains (legacy checkpoints under the r3 semantics,
 # crash ~0.29); re-record them from the retrained checkpoints so the
@@ -40,9 +44,6 @@ for fam in default low medium moderate; do
 done
 timeout 300 python3 scripts/compare_baseline.py >> "$STATUS" 2>&1
 
-run_item st_jerk_ab_fast 3600 python3 scripts/st_jerk_ab.py --config st_fast --episodes 2000 --out STUDY_ST_JERK.md
-run_item arbiter_study_moderate 5400 python3 scripts/arbiter_study.py --family moderate --episodes 2000
-run_item st_jerk_ab_moderate 3600 python3 scripts/st_jerk_ab.py --config st_moderate --episodes 2000 --out STUDY_ST_JERK_MODERATE.md
 
 # --- phase F (moved from queue_r4): re-record seed-1 combined/cross rows
 # on the retrained checkpoints so every recorded row is reproducible from
