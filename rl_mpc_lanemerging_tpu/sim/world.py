@@ -334,18 +334,20 @@ def world_step(world: WorldState, ego_speed_command, cfg: Settings
         new_delay = jnp.where(do_spawn & ~can_spawn, world.spawn_delay,
                               new_delay) - dt
 
-    new_cars_x = jnp.where(can_spawn,
-                           new_cars_x.at[slot].set(geometry.TRAFFIC_SPAWN_X),
-                           new_cars_x)
-    new_cars_v_s = jnp.where(can_spawn, new_cars_v.at[slot].set(spawn_v),
-                             new_cars_v)
-    prev_v = jnp.where(can_spawn,
-                       world.cars_v.at[slot].set(spawn_v), world.cars_v)
-    new_params = jnp.where(can_spawn,
-                           world.cars_params.at[slot].set(params_new),
+    # One-hot masked updates, NOT `.at[slot].set(...)` scatters: the TPU
+    # backend MISCOMPILES vmapped scatters at large batch (observed: a
+    # boolean `a.at[argmax(~a)].set(True)` silently drops individual
+    # rows' writes at B >= 1024, tearing the spawn so cars_x/v were
+    # written but cars_active was not — the source of the batch-1024
+    # eval crash-rate inflation).  A lane-wide select over 48 slots is
+    # also the faster formulation on the VPU.
+    put = can_spawn & (jnp.arange(n) == slot)
+    new_cars_x = jnp.where(put, geometry.TRAFFIC_SPAWN_X, new_cars_x)
+    new_cars_v_s = jnp.where(put, spawn_v, new_cars_v)
+    prev_v = jnp.where(put, spawn_v, world.cars_v)
+    new_params = jnp.where(put[:, None], params_new[None, :],
                            world.cars_params)
-    new_active = jnp.where(can_spawn, new_active.at[slot].set(True),
-                           new_active)
+    new_active = put | new_active
 
     return WorldState(
         cars_x=new_cars_x, cars_v=new_cars_v_s, cars_prev_v=prev_v,

@@ -122,3 +122,24 @@ def test_collision_requires_lateral_overlap():
     assert s2 > 35.0 and abs(ego_y2 - geometry.HIGHWAY_Y) < 1.8
     w_after2 = place(242.0, ego_x2)
     assert bool(w_after2.ego_collided)
+
+
+def test_spawner_batch_size_invariance():
+    """The spawner must be bitwise identical for a given scenario
+    regardless of the compiled batch shape.  Round-4 regression: the TPU
+    backend miscompiled the vmapped `.at[slot].set()` spawn scatters at
+    batch >= 1024, silently dropping individual rows' active-flag writes
+    (torn spawns) and inflating fast-traffic eval crash rates 10-45x; the
+    spawner now uses one-hot masked selects (world.py).  This exercises
+    the prefix-stable key property on CPU; the TPU repro lives in
+    scripts/probe_batch1024.py."""
+    cfg = CFG.replace(OTHER_CAR_SPEED=15.0, BASE_TRAFFIC_INTERVAL=1.2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    worlds = jax.vmap(lambda k: init_world(k, cfg, DTYPE))(keys)
+    small = jax.tree.map(lambda x: x[:64], worlds)
+    w_big = warmup(worlds, cfg, 300)
+    w_small = warmup(small, cfg, 300)
+    for f in w_big._fields:
+        a = np.asarray(getattr(w_small, f))
+        b = np.asarray(getattr(w_big, f))[:64]
+        np.testing.assert_array_equal(a, b, err_msg=f)
