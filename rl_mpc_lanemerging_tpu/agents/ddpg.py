@@ -296,7 +296,8 @@ def _eval_actor(cfg: Settings, params, num_episodes: int):
         eval_cfg, controller, num_episodes=num_episodes,
         max_episode_length=cfg.EVALUATION_EPISODE_LENGTH, verbose=False)
     avg = agg.get_stat_averages()
-    return avg["crashed"], avg["merged"], avg["mean_abs_jerk"]
+    return (avg["crashed"], avg["merged"], avg["mean_abs_jerk"],
+            avg["time_to_merge"])
 
 
 def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
@@ -320,27 +321,27 @@ def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
     frames0 = int(state.frames)
 
     def do_eval(tag=""):
-        crash, merge, jerk = _eval_actor(cfg, state.actor_params,
-                                         eval_episodes)
+        crash, merge, jerk, t_merge = _eval_actor(cfg, state.actor_params,
+                                                  eval_episodes)
         if verbose:
             print(f"  [eval @ {int(state.frames)} frames{tag}] "
                   f"crash={crash:.4f} merge={merge:.4f} "
-                  f"jerk={jerk:.3f}", flush=True)
+                  f"jerk={jerk:.3f} t_merge={t_merge:.1f}", flush=True)
         if run is not None:
             run.log_scalars(int(state.frames),
                             {"eval_crash": crash, "eval_merge": merge,
-                             "eval_jerk": jerk})
+                             "eval_jerk": jerk, "eval_t_merge": t_merge})
         if best is not None:
             from .budget import snapshot_score
-            score = snapshot_score(crash, merge, jerk)
+            score = snapshot_score(crash, merge, jerk, t_merge)
             if best.get("score") is None or score < best["score"]:
                 best["score"] = score
                 best["params"] = (state.actor_params, state.critic_params)
                 best["frames"] = int(state.frames)
                 if verbose:
                     print(f"  [best so far: crash={crash:.4f} "
-                          f"merge={merge:.4f} jerk={jerk:.3f}]",
-                          flush=True)
+                          f"merge={merge:.4f} jerk={jerk:.3f} "
+                          f"t_merge={t_merge:.1f}]", flush=True)
 
     evaluated_this_round = False
     for r in frame_budget_rounds(num_frames, ticks_per_round * batch):
@@ -377,7 +378,8 @@ def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
 
 
 def train(cfg: Settings, num_frames: float = 1e6, resume: bool = False,
-          verbose: bool = True, eval_every_rounds: int = 5):
+          verbose: bool = True, eval_every_rounds: int = 5,
+          record_csv: bool = True):
     """``train_ddpg_all_with_lr_drop`` (reference ddpg.py:96-117): train,
     then lr/10 + resume into an _extended run, then evaluate."""
     from .. import tasks
@@ -430,7 +432,7 @@ def train(cfg: Settings, num_frames: float = 1e6, resume: bool = False,
         print(f"  selected snapshot @ {best['frames']} frames "
               f"(crash={best['score'][1]:.4f} jerk={best['score'][2]:.3f})",
               flush=True)
-    evaluate(cfg, params=final[0])
+    evaluate(cfg, params=final[0], record_csv=record_csv)
     return state
 
 
@@ -439,8 +441,12 @@ def _load_actor(cfg: Settings):
     return load_params(cfg.MODEL_NAME)["actor"]
 
 
-def evaluate(cfg: Settings, params=None, verbose: bool = True):
-    """EVALUATE_DDPG (reference main.py:32-34 -> dqn.py:202-213)."""
+def evaluate(cfg: Settings, params=None, verbose: bool = True,
+             record_csv: bool = True):
+    """EVALUATE_DDPG (reference main.py:32-34 -> dqn.py:202-213).
+
+    ``record_csv=False`` (the CLI's --no-csv) keeps smoke/verify runs out
+    of run_data.csv, the acceptance database (ADVICE r4)."""
     from .. import tasks
     if params is None:
         params = _load_actor(cfg)
@@ -457,11 +463,13 @@ def evaluate(cfg: Settings, params=None, verbose: bool = True):
         import logging
         logging.getLogger(__name__).warning(
             "rollout plots failed", exc_info=True)
-    agg.add_csv_data()
+    if record_csv:
+        agg.add_csv_data()
     return agg
 
 
-def evaluate_combined(cfg: Settings, params=None, verbose: bool = True):
+def evaluate_combined(cfg: Settings, params=None, verbose: bool = True,
+                      record_csv: bool = True):
     """EVALUATE_COMBINED_* (reference main.py:35-40 -> dqn.py:228-241)."""
     from .. import tasks
     from .combined import combined_controller
@@ -476,5 +484,6 @@ def evaluate_combined(cfg: Settings, params=None, verbose: bool = True):
     if verbose:
         agg.print_stats()
     agg.save_plots(f"runs/{cfg.LOG_DIR}")
-    agg.add_csv_data()
+    if record_csv:
+        agg.add_csv_data()
     return agg

@@ -334,7 +334,8 @@ def _eval_greedy(cfg, params, num_episodes=512):
         eval_cfg, controller, num_episodes=num_episodes,
         max_episode_length=cfg.EVALUATION_EPISODE_LENGTH, verbose=False)
     avg = agg.get_stat_averages()
-    return avg["crashed"], avg["merged"], avg["mean_abs_jerk"]
+    return (avg["crashed"], avg["merged"], avg["mean_abs_jerk"],
+            avg["time_to_merge"])
 
 
 def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None,
@@ -363,18 +364,18 @@ def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None,
     grad_steps = max(64, int(8 * batch * ticks_per_round / 150))
 
     def do_eval(tag=""):
-        crash, merge, jerk = _eval_greedy(cfg, state.params)
+        crash, merge, jerk, t_merge = _eval_greedy(cfg, state.params)
         if verbose:
             print(f"  [eval @ {int(state.frames)} frames{tag}] "
-                  f"crash={crash:.4f} merge={merge:.4f} jerk={jerk:.3f}",
-                  flush=True)
+                  f"crash={crash:.4f} merge={merge:.4f} jerk={jerk:.3f} "
+                  f"t_merge={t_merge:.1f}", flush=True)
         if run is not None:
             run.log_scalars(int(state.frames),
                             {"eval_crash": crash, "eval_merge": merge,
-                             "eval_jerk": jerk})
+                             "eval_jerk": jerk, "eval_t_merge": t_merge})
         if best is not None:
             from .budget import snapshot_score
-            score = snapshot_score(crash, merge, jerk)
+            score = snapshot_score(crash, merge, jerk, t_merge)
             if best.get("score") is None or score < best["score"]:
                 best["score"] = score
                 best["params"] = state.params
@@ -407,13 +408,15 @@ def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None,
         if frames - frames0 >= num_frames:
             break
     state = jax.block_until_ready(state)
-    if best is not None and not evaluated:
+    # mirror the DDPG guard: a caller disabling periodic eval
+    # (eval_every_rounds=0) must not pay a final 512-episode eval either
+    if eval_every_rounds and best is not None and not evaluated:
         do_eval(tag=", final")
     return state
 
 
 def train(cfg: Settings, num_frames: float = 1e6, resume: bool = False,
-          verbose: bool = True):
+          verbose: bool = True, record_csv: bool = True):
     """``train_rainbow_all_with_lr_drop`` (reference rainbow.py:85-106)."""
     from .. import tasks
     from ..checkpoint import load_params, save_params
@@ -452,11 +455,12 @@ def train(cfg: Settings, num_frames: float = 1e6, resume: bool = False,
         print(f"  selected snapshot @ {best['frames']} frames "
               f"(crash={best['score'][1]:.4f} jerk={best['score'][2]:.3f})",
               flush=True)
-    evaluate(cfg, params=final)
+    evaluate(cfg, params=final, record_csv=record_csv)
     return state
 
 
-def evaluate(cfg: Settings, params=None, verbose: bool = True):
+def evaluate(cfg: Settings, params=None, verbose: bool = True,
+             record_csv: bool = True):
     from .. import tasks
     from ..checkpoint import load_params
     if params is None:
@@ -466,5 +470,6 @@ def evaluate(cfg: Settings, params=None, verbose: bool = True):
     if verbose:
         agg.print_stats()
     agg.save_plots(f"runs/{cfg.LOG_DIR}")
-    agg.add_csv_data()
+    if record_csv:
+        agg.add_csv_data()
     return agg

@@ -27,21 +27,23 @@ def do_task(cfg: Settings, num_frames: float = 1e6,
     elif task in ("TRAIN_DQN", "RESUME_DQN"):
         from .agents import rainbow as rainbow_agent
         rainbow_agent.train(cfg, num_frames=num_frames,
-                            resume=(task == "RESUME_DQN"))
+                            resume=(task == "RESUME_DQN"),
+                            record_csv=record_csv)
     elif task in ("TRAIN_DDPG", "RESUME_DDPG"):
         from .agents import ddpg as ddpg_agent
         ddpg_agent.train(cfg, num_frames=num_frames,
-                         resume=(task == "RESUME_DDPG"))
+                         resume=(task == "RESUME_DDPG"),
+                         record_csv=record_csv)
     elif task == "EVALUATE_DQN":
         from .agents import rainbow as rainbow_agent
-        rainbow_agent.evaluate(cfg)
+        rainbow_agent.evaluate(cfg, record_csv=record_csv)
     elif task == "EVALUATE_DDPG":
         from .agents import ddpg as ddpg_agent
-        ddpg_agent.evaluate(cfg)
+        ddpg_agent.evaluate(cfg, record_csv=record_csv)
     elif task in ("EVALUATE_COMBINED_DQN", "EVALUATE_COMBINED_DDPG"):
         # reference quirk: both load the DDPG agent (main.py:35-40)
         from .agents import ddpg as ddpg_agent
-        ddpg_agent.evaluate_combined(cfg)
+        ddpg_agent.evaluate_combined(cfg, record_csv=record_csv)
     else:
         raise ValueError(f"Unknown TASK: {task}")
 

@@ -35,10 +35,25 @@ class RunDir:
         self.path = path
         self._scalars_path = os.path.join(path, "scalars.csv")
         self._scalar_keys: Optional[list] = None
+        self._rotated = False
 
     def log_scalars(self, step: int, values: Mapping[str, float]) -> None:
         """Append one scalar row (TensorBoard-equivalent; reference
-        dqn.py:308-309 logs loss/epsilon, dqn.py:721-722 eval metrics)."""
+        dqn.py:308-309 logs loss/epsilon, dqn.py:721-722 eval metrics).
+
+        A pre-existing ``scalars.csv`` from an earlier run is rotated to
+        ``scalars.<n>.csv`` on this RunDir's *first* write — lazily, so a
+        re-run that never logs scalars (EVALUATE_* into a training
+        LOG_DIR) leaves the training history untouched (ADVICE r4)."""
+        if not self._rotated:
+            self._rotated = True
+            if os.path.exists(self._scalars_path):
+                n = 1
+                while os.path.exists(os.path.join(self.path,
+                                                  f"scalars.{n}.csv")):
+                    n += 1
+                os.rename(self._scalars_path,
+                          os.path.join(self.path, f"scalars.{n}.csv"))
         keys = sorted(values)
         header_needed = not os.path.exists(self._scalars_path)
         if self._scalar_keys is None:
@@ -75,18 +90,13 @@ def setup_run_dir(cfg: Settings, snapshot_src: bool = True) -> RunDir:
     """Create ``runs/<LOG_DIR>``, dump resolved settings + sources, and
     attach a file handler for ``out.log`` (reference config.py:179-193).
 
-    A pre-existing ``scalars.csv`` is rotated to ``scalars.<n>.csv`` so
-    a rerun into the same LOG_DIR never appends rows with a different
-    column schema under the old header (ADVICE r3: the aborted retrain
-    probe left ddpg_default1/scalars.csv with mixed-schema rows)."""
+    Scalar-file rotation (so a rerun never appends mixed-schema rows
+    under an old header, ADVICE r3) happens lazily inside
+    ``RunDir.log_scalars`` — only when this run actually writes scalars
+    (ADVICE r4: eager rotation here shuffled training history whenever
+    an EVALUATE_* task reused a training LOG_DIR)."""
     path = os.path.join("runs", cfg.LOG_DIR)
     os.makedirs(path, exist_ok=True)
-    scalars = os.path.join(path, "scalars.csv")
-    if os.path.exists(scalars):
-        n = 1
-        while os.path.exists(os.path.join(path, f"scalars.{n}.csv")):
-            n += 1
-        os.rename(scalars, os.path.join(path, f"scalars.{n}.csv"))
     run = RunDir(path)
 
     settings = {k: v for k, v in dataclasses.asdict(cfg).items()}
