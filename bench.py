@@ -133,12 +133,14 @@ def _roofline(cfg, solves_per_s: float) -> None:
     actual working set (ops/st_pallas.py layout), reported against assumed
     single-chip v5e peaks so the remaining headroom is explicit.
 
-    Traffic model per DP layer, per 128-scenario lane tile (all f32):
-      * residue sweep: 8 residues x nb blocks x n_k offsets-groups, each
-        reading 4 source slices (v/u/b/code) of _SB rows, plus best/bp/usel
-        read+write per block;
-      * buffer rolls: 8 residues x 4 buffers x rows read+write;
-      * prologue (code recompute) + epilogue (wavefront rewrite);
+    Traffic model per DP layer, per 128-scenario lane tile (all f32),
+    matching the round-5 kernel (three-term weighted-variance fold +
+    float band thresholds + per-residue local winners):
+      * residue sweep: 8 residues x nb blocks x n_k offset-groups, each
+        reading 5 source slices (m/k2/u/xlo/xhi) of _SB rows, plus the
+        best/bp/usel merge read+write once per (residue, block);
+      * buffer rolls: 8 residues x 5 buffers x rows read+write;
+      * prologue (pad-row arming) + epilogue (moment/band rewrite);
       * penalty stream: s_pad rows from HBM per layer (the only HBM term).
     nb is the dynamic wavefront reachability trip count, averaged over the
     horizon exactly as the kernel computes it.
@@ -161,16 +163,18 @@ def _roofline(cfg, solves_per_s: float) -> None:
     hbm = 0.0
     for t in range(num_t - 1):
         nb = min((d_pad * (t + 1) + 1 + _SB - 1) // _SB, n_blocks)
-        # residue sweep: source-slice reads + best/bp/usel rw per block
-        vmem += 8 * nb * (n_k * 4 + 2 * 3) * _SB * B4
-        # rolls (read+write, 4 buffers, full height)
-        vmem += 8 * 4 * 2 * rows * B4
-        # prologue code recompute (r u,b; w code) + epilogue rewrite
-        vmem += (3 * rows + 8 * s_pad) * B4
-        # candidate evaluation: 8 residues x nb blocks x n_k offset
-        # groups x _SB rows x 128 lanes candidates, ~14 flops each
-        # (3 squared-diff terms, feasibility decode/compare, lex update)
-        flops += 8 * nb * n_k * _SB * LANE_TILE * 14
+        # residue sweep: 5 source-slice reads per offset group +
+        # best/bp/usel merge rw once per (residue, block)
+        vmem += 8 * nb * (n_k * 5 + 2 * 3) * _SB * B4
+        # rolls (read+write, 5 buffers, full height)
+        vmem += 8 * 5 * 2 * rows * B4
+        # prologue pad-row arming + epilogue moment/band rewrite
+        vmem += (2 * d_pad + 12 * s_pad) * B4
+        # candidate evaluation: sub + fma + 2 band compares + 2 ands +
+        # 3 selects ~ 10 flop-equivalents per candidate; the lex
+        # tie-break runs once per (residue, block), amortized below
+        flops += 8 * nb * (n_k * _SB * LANE_TILE * 10
+                           + _SB * LANE_TILE * 8)
         hbm += s_pad * B4
     vmem_per_solve = vmem / LANE_TILE
     flops_per_solve = flops / LANE_TILE

@@ -19,13 +19,17 @@ roughly doubles end-to-end solver throughput:
 * state carried across layers in VMEM scratch via the sequential TPU grid
   (grid = (batch_tiles, T-1), t innermost; scratch persists and @pl.when
   reinitializes at t==0);
-* cost evaluation in factored form: the v/a/jerk displacement differences
-  are computed against carried per-source displacement contexts
-  (u = s_i - s_{i-1} and beta = 2u - w), never as expanded quadratics --
-  avoiding catastrophic f32 cancellation;
-* the two feasibility bounds are small integers packed into ONE f32 buffer
-  (code = dlo * 256 + dhi + 1, exact in f32) to halve the rolled working
-  set;
+* cost evaluation via the weighted-variance identity
+  c_a (x-u)^2 + c_j (x-beta)^2 = c_aj (x-m)^2 + K (exact algebra, both
+  factors stay in small-difference form -- no f32 cancellation), with the
+  carried wavefront value folded into K and m pre-scaled by sqrt(c_aj):
+  the whole per-offset candidate cost is ONE subtract + ONE fma + one
+  scalar add, down from the two factored quadratics of rounds 1-4;
+* the feasibility band is carried as float displacement thresholds
+  [xlo, xhi] in two buffers -- for integer d, ``d >= ceil(y)`` iff
+  ``d >= y`` and ``d <= floor(y)`` iff ``d <= y``, so the reference's
+  integer quantization (st_cy.pyx get_all_range_indices) is preserved
+  without the per-offset decode of the round-4 packed-code scheme;
 * the obstacle mask and distance penalty are pre-folded into one per-cell
   penalty tensor outside the kernel and streamed per layer with a manual
   single-buffer DMA (it is only consumed after the offset sweep);
@@ -64,8 +68,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(v0_ref, a0_ref, pen_hbm, bp_ref, vmin_ref, amin_ref,
-            v_buf, u_buf, b_buf, code_buf, best_buf, usel_buf, pen_buf,
-            pen_sem,
+            m_buf, k2_buf, u_buf, xlo_buf, xhi_buf, best_buf, usel_buf,
+            pen_buf, pen_sem,
             *, s_pad, d_pad, num_s, delta_t, delta_s, w: STWeights):
     i = pl.program_id(0)
     t = pl.program_id(1)
@@ -74,6 +78,9 @@ def _kernel(v0_ref, a0_ref, pen_hbm, bp_ref, vmin_ref, amin_ref,
     c_a = w.a_weight / (dt ** 4)
     c_j = w.j_weight / (dt ** 6)
     c_v = w.v_weight / (dt ** 2)
+    big_d = w.desired_speed * dt               # displacement of v_desired
+    c_tot = c_a + c_j + c_v
+    sq_tot = c_tot ** 0.5
     rows = s_pad + d_pad
 
     # start streaming this layer's penalty row; consumed after the sweep
@@ -82,38 +89,64 @@ def _kernel(v0_ref, a0_ref, pen_hbm, bp_ref, vmin_ref, amin_ref,
         pen_buf, pen_sem)
     pen_dma.start()
 
+    def band_and_moments(vcur, u, beta):
+        """Per-source quantities consumed by the offset sweep.
+
+        Weighted-variance identity over all three quadratics (exact
+        algebra; every factor stays in small-difference form so there is
+        no f32 cancellation):
+            c_a (x-u)^2 + c_j (x-beta)^2 + c_v (x-D)^2
+                = c_tot (x-m)^2 + K,
+            m = (c_a u + c_j beta + c_v D) / c_tot,
+            K = c_a (u-m)^2 + c_j (beta-m)^2 + c_v (D-m)^2,
+        with D = desired_speed * dt.  The sweep then evaluates one
+        subtract + one fma against mt = m * sqrt(c_tot) and
+        k2 = K + V (the carried wavefront value folded in).  The
+        feasibility band (st_cy.pyx:65-93) is carried as *displacement*
+        thresholds [xlo, xhi]: for integer d, d >= ceil(y) <=> d >= y
+        and d <= floor(y) <=> d <= y, so the ceil/floor quantization of
+        get_all_range_indices is preserved by float compares.
+        """
+        wv = 2.0 * u - beta                     # w = prev displacement
+        v = u / dt
+        prev_v = wv / dt
+        a = (v - prev_v) / dt
+        min_a = jnp.maximum(a + w.negative_jerk_limit * dt,
+                            w.negative_acceleration_limit)
+        max_a = jnp.minimum(a + w.positive_jerk_limit * dt,
+                            w.positive_acceleration_limit)
+        min_v = jnp.maximum(v + min_a * dt, 0.0)
+        max_v = jnp.minimum(v + max_a * dt, w.max_speed)
+        xlo = min_v * dt * (1.0 / ds)           # feasible d band (floats)
+        xhi = max_v * dt * (1.0 / ds)
+        m = (c_a * u + c_j * beta + c_v * big_d) * (1.0 / c_tot)
+        k = c_a * (u - m) ** 2 + c_j * (beta - m) ** 2 \
+            + c_v * (big_d - m) ** 2
+        return m * sq_tot, k + vcur, xlo, xhi
+
     @pl.when(t == 0)
     def _init():
         v0 = v0_ref[0, :]                       # (128,)
         a0 = a0_ref[0, :]
         iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE_TILE), 0)
         origin = iota == d_pad                  # row of s index 0
-        v_buf[:, :] = jnp.where(origin, 0.0, _BIG)
-        u0 = v0 * dt                            # s0 - est_prev (st_cy:329)
+        vcur = jnp.where(origin, 0.0, _BIG)
+        u0 = jnp.broadcast_to((v0 * dt)[None, :], (rows, LANE_TILE))
         w0 = dt * (v0 - a0 * dt)                # est_prev - est_second
-        u_buf[:, :] = jnp.broadcast_to(u0[None, :], (rows, LANE_TILE))
-        b_buf[:, :] = jnp.broadcast_to((2.0 * u0 - w0)[None, :],
-                                       (rows, LANE_TILE))
+        b0 = jnp.broadcast_to((2.0 * v0 * dt - w0)[None, :],
+                              (rows, LANE_TILE))
+        mt, k2, xlo, xhi = band_and_moments(vcur, u0, b0)
+        m_buf[:, :] = mt
+        k2_buf[:, :] = k2
+        u_buf[:, :] = u0
+        xlo_buf[:, :] = xlo
+        xhi_buf[:, :] = xhi
 
-    # --- per-source feasible offset band (st_cy.pyx:65-93 semantics on
-    # relative displacements), packed as dlo*256 + dhi + 1 (exact in f32)
-    u = u_buf[:, :]
-    beta = b_buf[:, :]
-    wv = 2.0 * u - beta                         # w = prev displacement
-    v = u / dt
-    prev_v = wv / dt
-    a = (v - prev_v) / dt
-    min_a = jnp.maximum(a + w.negative_jerk_limit * dt,
-                        w.negative_acceleration_limit)
-    max_a = jnp.minimum(a + w.positive_jerk_limit * dt,
-                        w.positive_acceleration_limit)
-    min_v = jnp.maximum(v + min_a * dt, 0.0)
-    max_v = jnp.minimum(v + max_a * dt, w.max_speed)
-    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE_TILE), 0)
-    pad_row = iota_rows < d_pad
-    dlo = jnp.where(pad_row, 1.0, jnp.ceil(min_v * dt / ds))
-    dhi = jnp.where(pad_row, -1.0, jnp.floor(max_v * dt / ds))
-    code_buf[:, :] = dlo * 256.0 + (dhi + 1.0)
+    # pad rows [0, d_pad) hold rolled garbage from the previous layer's
+    # sweep (sources with s < 0); force them infeasible every layer
+    xlo_buf[pl.ds(0, d_pad), :] = jnp.ones((d_pad, LANE_TILE), jnp.float32)
+    xhi_buf[pl.ds(0, d_pad), :] = jnp.full((d_pad, LANE_TILE), -1.0,
+                                           jnp.float32)
 
     best_buf[:, :] = jnp.full((s_pad, LANE_TILE), _BIG, jnp.float32)
     bp_ref[0, :, :] = jnp.full((s_pad, LANE_TILE), -1, jnp.int32)
@@ -136,51 +169,57 @@ def _kernel(v0_ref, a0_ref, pen_hbm, bp_ref, vmin_ref, amin_ref,
 
         def block(bi, _):
             base = bi * _SB
+            # Per-residue local winner with `<=` updates: within a
+            # residue, d = 8k + r ascends with k, so later-k-wins-ties ==
+            # max-d-wins-ties.  The (cost, -d) lexicographic compare then
+            # runs ONCE per (residue, block) in the merge below instead
+            # of once per offset.
+            loc_best = jnp.full((_SB, LANE_TILE), _BIG, jnp.float32)
+            loc_d = jnp.full((_SB, LANE_TILE), -1, jnp.int32)
+            loc_u = jnp.zeros((_SB, LANE_TILE), jnp.float32)
+            for k in range(n_k):
+                src = base + d_pad - 8 * k
+                mts = m_buf[pl.ds(src, _SB), :]
+                k2s = k2_buf[pl.ds(src, _SB), :]
+                us = u_buf[pl.ds(src, _SB), :]
+                xlos = xlo_buf[pl.ds(src, _SB), :]
+                xhis = xhi_buf[pl.ds(src, _SB), :]
+                d = 8 * k + r
+                df = 8.0 * k + rf                # scalar
+                xt = df * (ds * sq_tot)          # scalar, mt domain
+                diff = xt - mts
+                cand = diff * diff + k2s
+                feas = (df >= xlos) & (df <= xhis)
+                upd = feas & (cand <= loc_best)
+                loc_best = jnp.where(upd, cand, loc_best)
+                loc_d = jnp.where(upd, d, loc_d)
+                loc_u = jnp.where(upd, us, loc_u)
             prev_best = best_buf[pl.ds(base, _SB), :]
             prev_d = bp_ref[0, pl.ds(base, _SB), :]
             prev_u = usel_buf[pl.ds(base, _SB), :]
-            for k in range(n_k):
-                src = base + d_pad - 8 * k
-                vs = v_buf[pl.ds(src, _SB), :]
-                us = u_buf[pl.ds(src, _SB), :]
-                bs = b_buf[pl.ds(src, _SB), :]
-                codes = code_buf[pl.ds(src, _SB), :]
-                d = 8 * k + r
-                df = 8.0 * k + rf
-                x = df * ds                      # displacement this step
-                vterm = c_v * (x - w.desired_speed * dt) ** 2
-                aterm = c_a * (x - us) ** 2
-                jterm = c_j * (x - bs) ** 2
-                cand = vs + aterm + jterm + vterm
-                dlos = jnp.floor(codes * (1.0 / 256.0))
-                dhis = codes - dlos * 256.0 - 1.0
-                feas = (df >= dlos) & (df <= dhis)
-                cand = jnp.where(feas, cand, _BIG)
-                # (cost, -d) lexicographic argmin == ascending-d <= sweep
-                upd = (cand < prev_best) | ((cand == prev_best)
-                                            & (d > prev_d))
-                prev_best = jnp.where(upd, cand, prev_best)
-                prev_d = jnp.where(upd, d, prev_d)
-                prev_u = jnp.where(upd, us, prev_u)
-            best_buf[pl.ds(base, _SB), :] = prev_best
-            bp_ref[0, pl.ds(base, _SB), :] = prev_d
-            usel_buf[pl.ds(base, _SB), :] = prev_u
+            # (cost, -d) lexicographic merge of the residue winner
+            upd = (loc_best < prev_best) | ((loc_best == prev_best)
+                                            & (loc_d > prev_d))
+            best_buf[pl.ds(base, _SB), :] = jnp.where(upd, loc_best,
+                                                      prev_best)
+            bp_ref[0, pl.ds(base, _SB), :] = jnp.where(upd, loc_d, prev_d)
+            usel_buf[pl.ds(base, _SB), :] = jnp.where(upd, loc_u, prev_u)
             return 0
 
         jax.lax.fori_loop(0, nb, block, 0)
         # next residue's view
-        v_buf[:, :] = pltpu.roll(v_buf[:, :], 1, 0)
+        m_buf[:, :] = pltpu.roll(m_buf[:, :], 1, 0)
+        k2_buf[:, :] = pltpu.roll(k2_buf[:, :], 1, 0)
         u_buf[:, :] = pltpu.roll(u_buf[:, :], 1, 0)
-        b_buf[:, :] = pltpu.roll(b_buf[:, :], 1, 0)
-        code_buf[:, :] = pltpu.roll(code_buf[:, :], 1, 0)
+        xlo_buf[:, :] = pltpu.roll(xlo_buf[:, :], 1, 0)
+        xhi_buf[:, :] = pltpu.roll(xhi_buf[:, :], 1, 0)
         return 0
 
     jax.lax.fori_loop(0, 8, residue, 0)
     # No orientation restore is needed: the epilogue below rewrites the
     # real rows [d_pad, d_pad + s_pad) in physical position, and the pad
     # rows' (rolled garbage) content is never consumed -- they are forced
-    # infeasible by the pad_row override when code_buf is recomputed at
-    # the start of every layer.
+    # infeasible by the pad-row override at the start of every layer.
 
     best = best_buf[:, :]
     dbest = bp_ref[0, :, :]
@@ -190,12 +229,17 @@ def _kernel(v0_ref, a0_ref, pen_hbm, bp_ref, vmin_ref, amin_ref,
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (s_pad, LANE_TILE), 0)
     new_v = jnp.where(s_iota < num_s, new_v, _BIG)
 
-    # write the new wavefront back at the source offset; u' = d* x ds and
+    # write the new wavefront back at the source offset; u' = d * ds and
     # beta' = 2u' - w' where w' = u of the selected predecessor
     dbf = dbest.astype(jnp.float32)
-    v_buf[pl.ds(d_pad, s_pad), :] = new_v
-    u_buf[pl.ds(d_pad, s_pad), :] = dbf * ds
-    b_buf[pl.ds(d_pad, s_pad), :] = 2.0 * dbf * ds - usel_buf[:, :]
+    u_new = dbf * ds
+    b_new = 2.0 * u_new - usel_buf[:, :]
+    mt, k2, xlo, xhi = band_and_moments(new_v, u_new, b_new)
+    m_buf[pl.ds(d_pad, s_pad), :] = mt
+    k2_buf[pl.ds(d_pad, s_pad), :] = k2
+    u_buf[pl.ds(d_pad, s_pad), :] = u_new
+    xlo_buf[pl.ds(d_pad, s_pad), :] = xlo
+    xhi_buf[pl.ds(d_pad, s_pad), :] = xhi
 
     bp_ref[0, :, :] = s_iota - dbest             # predecessor index
     vmin = jnp.min(new_v, axis=0)
@@ -269,10 +313,11 @@ def make_pallas_solver(cfg_delta_t: float, cfg_delta_s: float,
             ),
             out_shape=out_shapes,
             scratch_shapes=[
-                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # V
+                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # m*sqrt(c_aj)
+                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # K + V
                 pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # U
-                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # beta
-                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # feas code
+                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # band lo
+                pltpu.MemorySpace.VMEM((rows, LANE_TILE), jnp.float32),   # band hi
                 pltpu.MemorySpace.VMEM((s_pad, LANE_TILE), jnp.float32),  # best
                 pltpu.MemorySpace.VMEM((s_pad, LANE_TILE), jnp.float32),  # usel
                 pltpu.MemorySpace.VMEM((s_pad, LANE_TILE), jnp.float32),  # pen row
