@@ -55,6 +55,15 @@ def test_time_to_merge_penalized():
     assert slow_safe < reckless
 
 
+def test_medium_regime_five_second_gap():
+    # reference medium rows accept crash ~0.005 to merge ~5 s faster
+    # (saved_data ddpg_medium3: crash 0.0054, t 22.2); the r5 weight must
+    # prefer that profile over a 0-crash snapshot waiting 27.3 s
+    ref_like = snapshot_score(0.005, 0.995, 0.44, t_merge=22.2)
+    slow_safe = snapshot_score(0.0, 1.0, 0.35, t_merge=27.3)
+    assert ref_like < slow_safe
+
+
 def test_time_term_nan_and_default_safe():
     # never-merging policy: t_merge is NaN -> the timeout term alone
     # must carry the penalty (no NaN poisoning the score)
