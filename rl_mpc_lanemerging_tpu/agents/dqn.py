@@ -250,6 +250,7 @@ def train(cfg: Settings, num_episodes: int | None = None,
     grad_per_round = max(1, cfg.TRAINING_STEPS_PER_EPISODE)
     last_target = 0
     last_eval = 0
+    best: dict = {}
     r = 0
     while int(state.episodes) < num_episodes:
         state = train_round(state, cfg, env_ticks=env_ticks,
@@ -265,7 +266,7 @@ def train(cfg: Settings, num_episodes: int | None = None,
             controller = jax.jit(greedy_controller(state.params, eval_cfg))
             agg = tasks.evaluate_controller(
                 eval_cfg, controller,
-                num_episodes=cfg.NUM_EVALUATION_EPISODES,
+                num_episodes=max(cfg.NUM_EVALUATION_EPISODES, 512),
                 max_episode_length=cfg.EVALUATION_EPISODE_LENGTH,
                 verbose=False)
             avg = agg.get_stat_averages()
@@ -273,10 +274,25 @@ def train(cfg: Settings, num_episodes: int | None = None,
                 print(f"  [eval @ {eps_done} eps] "
                       f"crash={avg['crashed']:.4f} "
                       f"merge={avg['merged']:.4f} "
-                      f"jerk={avg['mean_abs_jerk']:.3f}", flush=True)
+                      f"jerk={avg['mean_abs_jerk']:.3f} "
+                      f"t_merge={avg['time_to_merge']:.1f}", flush=True)
             run.log_scalars(eps_done, {"eval_crash": avg["crashed"],
                                        "eval_merge": avg["merged"],
                                        "eval_jerk": avg["mean_abs_jerk"]})
+            # best-eval snapshot selection, as in the DDPG/Rainbow
+            # trainers (the reference keeps per-eval checkpoint files,
+            # dqn.py:285; late Q-learning is unstable enough here that
+            # the final params can land mid-collapse — the first r5
+            # full-budget run peaked at crash 0.20/merge 0.78 at 147k
+            # episodes and recorded 0.34/0.66 from the 150k params)
+            from .budget import snapshot_score
+            score = snapshot_score(avg["crashed"], avg["merged"],
+                                   avg["mean_abs_jerk"],
+                                   avg["time_to_merge"])
+            if best.get("score") is None or score < best["score"]:
+                best["score"] = score
+                best["params"] = state.params
+                best["episodes"] = eps_done
             save_params(run.path, {"q": state.params})     # checkpoint
         if verbose and r % 10 == 0:
             state = jax.block_until_ready(state)
@@ -285,6 +301,11 @@ def train(cfg: Settings, num_episodes: int | None = None,
             print(f"  round {r} episodes={eps_done} eps={eps:.3f} "
                   f"loss={loss:.4f}", flush=True)
             run.log_scalars(eps_done, {"epsilon": eps, "loss": loss})
+    if best.get("params") is not None:
+        if verbose:
+            print(f"  selected snapshot @ {best['episodes']} episodes "
+                  f"(score={best['score'][0]:.4f})", flush=True)
+        state = state._replace(params=best["params"])
     save_params(run.path, {"q": state.params})
     return state
 

@@ -364,7 +364,12 @@ def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None,
     grad_steps = max(64, int(8 * batch * ticks_per_round / 150))
 
     def do_eval(tag=""):
-        crash, merge, jerk, t_merge = _eval_greedy(cfg, state.params)
+        # 1024-episode selection evals: at 512 the crash SEM (~0.006 at
+        # the 0.02 level) is larger than the 0.01-band differences the
+        # selection needs to discriminate — the r4 "crash 0.0" snapshots
+        # measured 0.038 at the 4000-episode recording eval
+        crash, merge, jerk, t_merge = _eval_greedy(cfg, state.params,
+                                                   num_episodes=1024)
         if verbose:
             print(f"  [eval @ {int(state.frames)} frames{tag}] "
                   f"crash={crash:.4f} merge={merge:.4f} jerk={jerk:.3f} "
