@@ -96,7 +96,17 @@ def main(run_path="run_data.csv",
         "takeover rate at zero crash.  (3) *Time-to-merge on low "
         "traffic* — policies selected by the pre-r5 time-blind "
         "snapshot score merge slower than the reference's; r5 retrains "
-        "under the time-aware score close this (see flagged rows).", ""]
+        "under the time-aware score close this (see flagged rows).  "
+        "(4) *Residual ~0.001 crash on cross_moderate_network_slow_"
+        "traffic_2/2b* — crash forensics (scripts/combined_crash_"
+        "forensics.py: 3 dumps in 2000 episodes, each replayed through "
+        "the solver) classifies every crash as a one-tick trap: the "
+        "safety certificate correctly condemns the state ~2 s before "
+        "impact, but the trap forms faster than the arbiter's one-step "
+        "lookahead — the same policy-risk mechanism and magnitude the "
+        "reference itself records on the neighboring seed "
+        "(cross_moderate_network_slow_traffic_1b: reference crash "
+        "0.0013).", ""]
 
     # headline summary
     n_zero = sum(1 for _, o, r in matched
