@@ -10,7 +10,10 @@ asked for).
 """
 
 import argparse
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
