@@ -247,14 +247,22 @@ def train(cfg: Settings, num_episodes: int | None = None,
     num_episodes = num_episodes or cfg.NUM_TRAINING_EPISODES
     worlds = tasks.make_worlds(cfg)
     state = make_train_state(cfg, worlds, tasks.seed_key(cfg))
-    grad_per_round = max(1, cfg.TRAINING_STEPS_PER_EPISODE)
+    # learner cadence: the reference does TRAINING_STEPS_PER_EPISODE (8)
+    # grad steps after EVERY episode (dqn.py:312-351); one env round over
+    # `batch` scenarios finishes ~batch*env_ticks/150 episodes, so match
+    # the grad-steps-per-episode ratio (the same cadence fix Rainbow got
+    # in r3 — the old fixed 32/round left this net ~35x undertrained:
+    # 34k total grad steps vs the reference's 1.2M at 150k episodes)
+    batch = int(worlds.ego_arc.shape[0])
+    grad_steps = max(64, int(cfg.TRAINING_STEPS_PER_EPISODE * batch
+                             * env_ticks / 150))
     last_target = 0
     last_eval = 0
     best: dict = {}
     r = 0
     while int(state.episodes) < num_episodes:
         state = train_round(state, cfg, env_ticks=env_ticks,
-                            grad_steps=grad_per_round * 4)
+                            grad_steps=grad_steps)
         r += 1
         eps_done = int(state.episodes)
         if eps_done - last_target >= cfg.TARGET_NET_FREEZE_PERIOD:
