@@ -16,7 +16,25 @@ import logging
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["frame_budget_rounds", "snapshot_score"]
+__all__ = ["frame_budget_rounds", "snapshot_score", "grad_steps_per_round"]
+
+
+def grad_steps_per_round(steps_per_episode: int, batch: int,
+                         env_ticks: int, mean_episode_ticks: int = 150,
+                         floor: int = 64) -> int:
+    """Learner cadence for the batched discrete-agent trainers.
+
+    The reference trainers perform ``steps_per_episode`` gradient updates
+    after every single-env episode (reference dqn.py:312-351 and the
+    rainbow preset); one batched round of ``env_ticks`` ticks over
+    ``batch`` scenarios finishes ~batch * env_ticks / mean_episode_ticks
+    episodes, so this matches the grad-steps-per-episode ratio.  Shared
+    by agents/dqn.py and agents/rainbow.py so the cadence cannot drift
+    between them again (each independently under-trained by 35-100x
+    before its fix)."""
+    return max(floor,
+               int(steps_per_episode * batch * env_ticks
+                   / mean_episode_ticks))
 
 
 def snapshot_score(crash: float, merge: float, jerk: float,

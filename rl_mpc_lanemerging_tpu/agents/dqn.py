@@ -247,15 +247,14 @@ def train(cfg: Settings, num_episodes: int | None = None,
     num_episodes = num_episodes or cfg.NUM_TRAINING_EPISODES
     worlds = tasks.make_worlds(cfg)
     state = make_train_state(cfg, worlds, tasks.seed_key(cfg))
-    # learner cadence: the reference does TRAINING_STEPS_PER_EPISODE (8)
-    # grad steps after EVERY episode (dqn.py:312-351); one env round over
-    # `batch` scenarios finishes ~batch*env_ticks/150 episodes, so match
-    # the grad-steps-per-episode ratio (the same cadence fix Rainbow got
-    # in r3 — the old fixed 32/round left this net ~35x undertrained:
-    # 34k total grad steps vs the reference's 1.2M at 150k episodes)
+    # learner cadence: match the reference's TRAINING_STEPS_PER_EPISODE
+    # grad steps per episode (dqn.py:312-351) via the shared helper (the
+    # old fixed 32/round left this net ~35x undertrained: 34k total grad
+    # steps vs the reference's 1.2M at the 150k-episode budget)
+    from .budget import grad_steps_per_round
     batch = int(worlds.ego_arc.shape[0])
-    grad_steps = max(64, int(cfg.TRAINING_STEPS_PER_EPISODE * batch
-                             * env_ticks / 150))
+    grad_steps = grad_steps_per_round(cfg.TRAINING_STEPS_PER_EPISODE,
+                                      batch, env_ticks)
     last_target = 0
     last_eval = 0
     best: dict = {}

@@ -356,12 +356,12 @@ def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None,
     batch = state.env.obs.shape[0]
     frames0 = int(state.frames)
     last_refresh_bucket = int(state.episodes) // cfg.TARGET_NET_FREEZE_PERIOD
-    # learner cadence: the reference trainer this mirrors does 8 grad
-    # steps of batch 50 per episode (reference dqn.py:312-351); one
-    # 200-tick round over `batch` envs finishes ~batch*200/150 episodes,
-    # so match its updates-per-episode rate rather than the old 16/round
-    # (which left the net ~100x undertrained)
-    grad_steps = max(64, int(8 * batch * ticks_per_round / 150))
+    # learner cadence: match the reference's TRAINING_STEPS_PER_EPISODE
+    # (8) grad steps per episode (shared helper; the old fixed 16/round
+    # left the net ~100x undertrained)
+    from .budget import grad_steps_per_round
+    grad_steps = grad_steps_per_round(cfg.TRAINING_STEPS_PER_EPISODE,
+                                      batch, ticks_per_round)
 
     def do_eval(tag=""):
         # 1024-episode selection evals: at 512 the crash SEM (~0.006 at
@@ -414,7 +414,7 @@ def _train_frames(cfg, state, num_frames, lr, verbose=True, run=None,
             break
     state = jax.block_until_ready(state)
     # mirror the DDPG guard: a caller disabling periodic eval
-    # (eval_every_rounds=0) must not pay a final 512-episode eval either
+    # (eval_every_rounds=0) must not pay a final selection eval either
     if eval_every_rounds and best is not None and not evaluated:
         do_eval(tag=", final")
     return state

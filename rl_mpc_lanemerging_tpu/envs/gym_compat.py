@@ -157,16 +157,21 @@ class MergeGymEnv(_env_base()):
         self._episode += 1
         world = jax.vmap(lambda k: init_world(k, self.cfg, jnp.float32))(
             key[None])
-        env = env_reset(world, self.cfg,
-                        wait_before_start=self.wait_before_start)
+        # the batched env only inserts the ego on the warmup_left==1 ->
+        # 0 transition, so a sub-tick wait would produce an egoless
+        # ghost episode; clamp to at least one warmup tick
+        wait = max(self.wait_before_start, self.cfg.TICK_LENGTH)
+        env = env_reset(world, self.cfg, wait_before_start=wait)
         # advance through warmup so the first obs is the episode start
-        # (the reference blocks in reset, merge_gym.py:142-149)
+        # (the reference blocks in reset, merge_gym.py:142-149); the
+        # tick count is host-known — no per-tick device sync needed
         noop = self._noop_action()
-        while int(env.warmup_left[0]) > 0:
+        for _ in range(int(wait / self.cfg.TICK_LENGTH)):
             env, _ = env_step(env, noop, self.cfg, self.kind,
                               max_episode_length=self.max_episode_length,
-                              wait_before_start=self.wait_before_start)
+                              wait_before_start=wait)
         self._env = env
+        self._wait = wait
         return np.asarray(env.obs[0]), {}
 
     def step(self, action):
@@ -175,14 +180,15 @@ class MergeGymEnv(_env_base()):
         act = self._encode_action(action)
         env, tr = env_step(self._env, act, self.cfg, self.kind,
                            max_episode_length=self.max_episode_length,
-                           wait_before_start=self.wait_before_start)
+                           wait_before_start=getattr(
+                               self, "_wait", self.wait_before_start))
         self._env = env
         terminated = bool(tr["terminal"][0])
         truncated = bool(tr["done"][0]) and not terminated
         if terminated or truncated:
             self._env = None                 # require reset()
-        info = {"crashed": bool(self._crashed(tr)),
-                "merged": terminated and not bool(self._crashed(tr))}
+        info = {"crashed": bool(tr["collided"][0]),
+                "merged": bool(tr["arrived"][0])}
         return (np.asarray(tr["next_obs"][0]), float(tr["reward"][0]),
                 terminated, truncated, info)
 
@@ -190,10 +196,6 @@ class MergeGymEnv(_env_base()):
         self._env = None
 
     # -- helpers ---------------------------------------------------------
-    def _crashed(self, tr):
-        # terminal with a negative terminal reward <=> collision branch
-        return tr["terminal"][0] & (tr["reward"][0] < 0)
-
     def _noop_action(self):
         if self.kind == EnvKind.CONTINUOUS_JERK:
             return jnp.zeros((1,), jnp.float32)

@@ -200,7 +200,8 @@ def env_step(env: MergeEnvState, action, cfg: Settings,
 
     transition = dict(obs=env.obs, action=action, reward=reward,
                       next_obs=obs_out, terminal=collided | arrived,
-                      done=done, valid=running)
+                      done=done, valid=running, collided=collided,
+                      arrived=arrived)
 
     # --- async reset bookkeeping ---
     # timeout removes the ego (merge_gym.py:124-125); all done scenarios

@@ -145,8 +145,9 @@ def main(run_path="run_data.csv",
             # (crash: flag only when we are >10% *worse*, i.e. higher,
             # and by more than 2 SEM so 0.000x noise doesn't flag)
             flags = []
+            sem_val = 0.0 if pd.isna(sem) else sem
             if not pd.isna(r["crashed"]) and o["crashed"] > max(
-                    r["crashed"] * 1.1, r["crashed"] + 2 * (sem or 0)):
+                    r["crashed"] * 1.1, r["crashed"] + 2 * sem_val):
                 flags.append("c↑")
             for key, tag in (("mean_abs_jerk", "j"),
                              ("time_to_merge", "t")):

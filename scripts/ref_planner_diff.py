@@ -66,10 +66,26 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--stride", type=int, default=5,
                     help="compare every Nth tick")
+    ap.add_argument("--save-states", default=None,
+                    help="capture closed-loop states to this .npz and "
+                         "exit (run on the TPU, production f32 path)")
+    ap.add_argument("--states", default=None,
+                    help="skip capture; load states from this .npz and "
+                         "compare in genuine float64 (enables x64 — run "
+                         "with --platform cpu so the production Pallas "
+                         "path is not involved)")
+    ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if args.states:
+        # true float64 comparison: x64 must be on BEFORE any jax use
+        jax.config.update("jax_enable_x64", True)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_test_cache" if args.platform == "cpu"
+                      else "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
@@ -85,19 +101,31 @@ def main():
     cfg = Settings.load_from_file(f"configs/{args.config}.json").replace(
         BATCH_SCENARIOS=args.batch)
 
-    # ---- capture sensed states from production closed-loop episodes ----
-    world = tasks.make_worlds(cfg, batch=args.batch, dtype=jnp.float32)
-    from rl_mpc_lanemerging_tpu.ops.st_pallas import LANE_TILE
-    force_reference = (args.batch % LANE_TILE != 0) \
-        or jax.default_backend() == "cpu"
-    controller = mpc.make_batched_controller(
-        cfg, force_reference=force_reference)
-    run = jax.jit(lambda w: run_episode_batch(
-        w, cfg, controller, max_episode_length=cfg.MAX_EPISODE_LENGTH,
-        record_history=True))
-    _, stats, hist = jax.block_until_ready(run(world))
-    hist = jax.tree.map(lambda x: np.asarray(x), hist)
-    ticks = np.asarray(stats.ticks)
+    if args.states:
+        # ---- load previously captured states ---------------------------
+        data = np.load(args.states)
+        hist = HighwayState(**{k: data[k] for k in HighwayState._fields})
+        ticks = data["ticks"]
+    else:
+        # ---- capture sensed states from production closed-loop episodes
+        world = tasks.make_worlds(cfg, batch=args.batch,
+                                  dtype=jnp.float32)
+        from rl_mpc_lanemerging_tpu.ops.st_pallas import LANE_TILE
+        force_reference = (args.batch % LANE_TILE != 0) \
+            or jax.default_backend() == "cpu"
+        controller = mpc.make_batched_controller(
+            cfg, force_reference=force_reference)
+        run = jax.jit(lambda w: run_episode_batch(
+            w, cfg, controller, max_episode_length=cfg.MAX_EPISODE_LENGTH,
+            record_history=True))
+        _, stats, hist = jax.block_until_ready(run(world))
+        hist = jax.tree.map(lambda x: np.asarray(x), hist)
+        ticks = np.asarray(stats.ticks)
+        if args.save_states:
+            np.savez(args.save_states, ticks=ticks,
+                     **{k: getattr(hist, k) for k in HighwayState._fields})
+            print(f"saved states -> {args.save_states}")
+            return
 
     # ---- reference imports -------------------------------------------------
     install_reference_stubs()

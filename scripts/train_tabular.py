@@ -57,10 +57,16 @@ def main():
     from rl_mpc_lanemerging_tpu.rundir import setup_run_dir
 
     # the reference tabular path requires the plain Slotted reward
-    # (rl.py:269-274 raises on anything else)
-    cfg = Settings().replace(
+    # (rl.py:269-274 raises on anything else).  The batched JERK env
+    # actuates through JERK_VALUES_DQN while the tabular agent's action
+    # set is JERK_VALUES (reference rl.py:177-187); the defaults are the
+    # same table, but pin them equal so a config overriding either can
+    # never silently train Q against the wrong jerk mapping
+    base = Settings()
+    cfg = base.replace(
         TASK="TRAIN_Q", REWARD_FUNCTION="Slotted", LOG_DIR=args.log_dir,
-        TICK_LENGTH=Settings().TRAINING_TICK_LENGTH,
+        TICK_LENGTH=base.TRAINING_TICK_LENGTH,
+        JERK_VALUES_DQN=base.JERK_VALUES,
         NUM_EPISODES=args.eval_episodes, BATCH_SCENARIOS=args.batch)
     run = setup_run_dir(cfg, snapshot_src=False)
 
