@@ -304,8 +304,13 @@ def _train_frames(cfg: Settings, state: DDPGTrainState, num_frames: float,
                   lr: float, verbose: bool = True, run=None,
                   updates_per_tick: int = 64,
                   eval_every_rounds: int = 0,
-                  eval_episodes: int = 512,
+                  eval_episodes: int = 2048,
                   best: dict | None = None) -> DDPGTrainState:
+    # 2048-episode selection evals: at 512 a true-0.004-crash snapshot
+    # measures 0/512 with ~13% probability, so min-over-evals selection
+    # reliably "finds" lucky zeros whose 4000-episode recording eval
+    # then lands at 0.002-0.006 (the phase-F medium_1/moderate_1 rows);
+    # at 2048 that false-zero probability is ~3e-4
     """Advance ``num_frames`` frames.  With ``eval_every_rounds`` the actor
     is periodically evaluated and — model selection — the best-scoring
     (lowest crash, then lowest jerk, merge-complete) parameter snapshot is
