@@ -106,7 +106,16 @@ def main(run_path="run_data.csv",
         "lookahead — the same policy-risk mechanism and magnitude the "
         "reference itself records on the neighboring seed "
         "(cross_moderate_network_slow_traffic_1b: reference crash "
-        "0.0013).", ""]
+        "0.0013).  (5) *combined_medium_1 residual crash ~0.004* — the "
+        "r5 medium-seed-1 policy is genuinely zero-crash standalone "
+        "(0/4096 at the recording eval, confirmed at 2048-episode "
+        "selection evals) and merges at the reference's pace, but it "
+        "drives close enough to the margin that the arbiter's gates "
+        "fire at 8.6%% of ticks (reference 2.4%%), and the resulting "
+        "policy<->ST handoffs create one-tick traps the certificate's "
+        "single-step lookahead cannot pre-empt; the sibling seeds (and "
+        "the reference's own policies) stay in the low-activity regime "
+        "where the combined row is clean.", ""]
 
     # headline summary
     n_zero = sum(1 for _, o, r in matched
