@@ -97,14 +97,18 @@ def main(run_path="run_data.csv",
         "traffic* — policies selected by the pre-r5 time-blind "
         "snapshot score merge slower than the reference's; r5 retrains "
         "under the time-aware score close this (see flagged rows).  "
-        "(4) *Residual ~0.001 crash on cross_moderate_network_slow_"
-        "traffic_2/2b* — crash forensics (scripts/combined_crash_"
-        "forensics.py: 3 dumps in 2000 episodes, each replayed through "
-        "the solver) classifies every crash as a one-tick trap: the "
-        "safety certificate correctly condemns the state ~2 s before "
-        "impact, but the trap forms faster than the arbiter's one-step "
-        "lookahead — the same policy-risk mechanism and magnitude the "
-        "reference itself records on the neighboring seed "
+        "(4) *Residual ~0.001-0.006 crash on the cross_moderate rows "
+        "(slow_traffic_2/2b, fast_traffic_1/1b)* — crash forensics "
+        "(scripts/combined_crash_forensics.py: slow_2 3 dumps / 2000 "
+        "episodes, fast_1 11 dumps / 2000 episodes, every dump "
+        "replayed through the solver) classifies every crash as a "
+        "one-tick trap: the safety certificate condemns the state only "
+        "0.75-2.25 s before impact (fast_1: condemned from tick 47-67 "
+        "of 53-75, never earlier), i.e. each preceding state still "
+        "admitted a feasible trajectory, so the arbiter correctly let "
+        "the policy drive until the trap formed faster than its "
+        "one-step lookahead — the same policy-risk mechanism and "
+        "magnitude the reference itself records on the neighboring seed "
         "(cross_moderate_network_slow_traffic_1b: reference crash "
         "0.0013).  (5) *combined_medium_1 residual crash ~0.004* — the "
         "r5 medium-seed-1 policy is genuinely zero-crash standalone "
