@@ -119,7 +119,13 @@ def main(run_path="run_data.csv",
         "policy<->ST handoffs create one-tick traps the certificate's "
         "single-step lookahead cannot pre-empt; the sibling seeds (and "
         "the reference's own policies) stay in the low-activity regime "
-        "where the combined row is clean.", ""]
+        "where the combined row is clean.  The same family's "
+        "cross_medium_network_heavy_traffic_1b row (~0.004-0.006) was "
+        "forensics-classified identically (8 dumps / 2000 episodes: "
+        "every crash preceded by a certifiably-feasible state, with "
+        "the solver condemning only once the trap has formed — 5-22 "
+        "ticks before impact in heavy traffic's longer doomed "
+        "corridors).", ""]
 
     # headline summary
     n_zero = sum(1 for _, o, r in matched
